@@ -1,0 +1,127 @@
+"""Functional building blocks: Linear, LayerNorm, MLP, dropout.
+
+Pure param-pytree style: every layer is an `init(key, ...) -> dict` plus an
+`apply(params, x, ...) -> array` pair. Params live in float32; matmuls run in
+the configured compute dtype (bfloat16 on TPU); LayerNorm and softmax
+accumulate in float32.
+
+Math parity targets (reference src/model/layers.py):
+  MLP   = Linear(D -> D*ratio) -> GELU(exact) -> Dropout -> Linear(-> D) -> Dropout
+  init  = Xavier-uniform weights, zero bias; LN scale=1 bias=0
+          (reference model.py:416-424)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def xavier_uniform(key: jax.Array, in_dim: int, out_dim: int) -> jax.Array:
+    bound = (6.0 / (in_dim + out_dim)) ** 0.5
+    return jax.random.uniform(
+        key, (in_dim, out_dim), jnp.float32, minval=-bound, maxval=bound
+    )
+
+
+# -- Linear -------------------------------------------------------------------
+
+def linear_init(key: jax.Array, in_dim: int, out_dim: int) -> dict:
+    return {
+        "w": xavier_uniform(key, in_dim, out_dim),
+        "b": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def linear(params: dict, x: jax.Array, dtype: jnp.dtype = jnp.float32) -> jax.Array:
+    y = jnp.dot(
+        x.astype(dtype), params["w"].astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + params["b"].astype(jnp.float32)).astype(dtype)
+
+
+# -- LayerNorm ----------------------------------------------------------------
+
+def layernorm_init(dim: int) -> dict:
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layernorm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"] + params["bias"]).astype(orig_dtype)
+
+
+# -- Dropout ------------------------------------------------------------------
+
+def dropout(
+    x: jax.Array,
+    rate: float,
+    rng: Optional[jax.Array],
+    deterministic: bool,
+) -> jax.Array:
+    if deterministic or rate <= 0.0:
+        return x
+    if rng is None:
+        raise ValueError("dropout requires an rng when non-deterministic")
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x)).astype(x.dtype)
+
+
+# -- MLP ----------------------------------------------------------------------
+
+def mlp_init(key: jax.Array, embed_dim: int, mlp_ratio: float = 4.0) -> dict:
+    hidden = int(embed_dim * mlp_ratio)
+    k1, k2 = jax.random.split(key)
+    return {"fc1": linear_init(k1, embed_dim, hidden),
+            "fc2": linear_init(k2, hidden, embed_dim)}
+
+
+def mlp(
+    params: dict,
+    x: jax.Array,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+    h = linear(params["fc1"], x, dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    h = dropout(h, dropout_rate, r1, deterministic)
+    h = linear(params["fc2"], h, dtype)
+    return dropout(h, dropout_rate, r2, deterministic)
+
+
+# -- Classifier-head MLPs (ReLU stacks; reference model.py:252-288) -----------
+
+def head_init(key: jax.Array, dims: list[int]) -> dict:
+    keys = jax.random.split(key, len(dims) - 1)
+    return {f"fc{i}": linear_init(keys[i], dims[i], dims[i + 1])
+            for i in range(len(dims) - 1)}
+
+
+def head_apply(
+    params: dict,
+    x: jax.Array,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Linear -> ReLU -> Dropout between every pair; final Linear bare."""
+    n = len(params)
+    rngs = (jax.random.split(rng, n) if rng is not None else [None] * n)
+    for i in range(n):
+        x = linear(params[f"fc{i}"], x, dtype)
+        if i < n - 1:
+            x = jax.nn.relu(x)
+            x = dropout(x, dropout_rate, rngs[i], deterministic)
+    return x

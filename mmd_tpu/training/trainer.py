@@ -1,0 +1,143 @@
+"""Data-parallel training over the device mesh.
+
+Replaces the reference's single-GPU loop (reference train.py:109-246) with a
+pjit/GSPMD step: the global batch shards over the mesh "data" axis, params
+replicate, and XLA inserts the gradient all-reduce over ICI. The step is one
+compiled function — loss, grads, AdamW update, and per-path predictions all
+stay on device; only small prediction/label arrays cross to host for F1
+accumulation at log intervals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmd_tpu.core.config import ModelConfig, TrainConfig
+from mmd_tpu.data.labels import PATHS
+from mmd_tpu.models.fusion import fusion_forward, init_fusion_params
+from mmd_tpu.training.losses import multipath_loss, single_loss
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW with torch-default hyperparams (reference train.py:356 uses
+    torch AdamW defaults: betas (0.9, 0.999), eps 1e-8, wd 0.01 — the
+    reference passes only lr, so torch's default weight_decay=0.01 applies)."""
+    return optax.adamw(
+        learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=0.01 if cfg.weight_decay == 0.0 else cfg.weight_decay,
+    )
+
+
+def init_state(cfg: TrainConfig, key: jax.Array) -> TrainState:
+    k_params, k_train = jax.random.split(key)
+    params = init_fusion_params(k_params, cfg.model)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, opt_state, k_train)
+
+
+def _loss_fn(params, mcfg: ModelConfig, batch, rng, deterministic=False):
+    outputs = fusion_forward(
+        params, mcfg,
+        X_t=batch["claim_text_embeds"],
+        X_i=batch.get("claim_image_embeds"),
+        E_t=batch["doc_text_embeds"],
+        E_i=batch.get("doc_image_embeds"),
+        rng=rng, deterministic=deterministic,
+    )
+    labels = batch["labels"]
+    if mcfg.factify or mcfg.text_only:
+        logits, _ = outputs
+        loss = single_loss(logits, labels)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return loss, {"loss": loss, "preds": preds[:, None],
+                      "labels": labels[:, None].astype(jnp.int32)}
+    total, per_path = multipath_loss(outputs, labels)
+    (y_t_t, y_t_i), (y_i_t, y_i_i) = outputs
+    preds = jnp.stack(
+        [jnp.argmax(y, axis=-1) for y in (y_t_t, y_t_i, y_i_t, y_i_i)], axis=1
+    ).astype(jnp.int32)
+    aux = {"loss": total, "preds": preds, "labels": labels.astype(jnp.int32)}
+    for name in PATHS:
+        if name in per_path:
+            aux[f"{name}_loss"] = per_path[name]
+    return total, aux
+
+
+def make_train_step(
+    cfg: TrainConfig, mesh: Mesh, optimizer: Optional[optax.GradientTransformation] = None
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Compiled DP train step over the mesh: state replicated, batch sharded."""
+    optimizer = optimizer or make_optimizer(cfg)
+    mcfg = cfg.model
+
+    def step_fn(state: TrainState, batch: dict):
+        rng = jax.random.fold_in(state.rng, state.step)
+        (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+            state.params, mcfg, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, params, opt_state, state.rng)
+        return new_state, aux
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    state_shardings = jax.tree_util.tree_map(lambda _: repl, None, is_leaf=lambda x: True)
+    # Shardings by structure: state fully replicated; batch sharded on dim 0.
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data),
+        out_shardings=(repl, None),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(cfg: TrainConfig, mesh: Mesh):
+    """Compiled eval step: loss + preds without updates (deterministic)."""
+    mcfg = cfg.model
+
+    def step_fn(params, batch):
+        _, aux = _loss_fn(params, mcfg, batch, rng=None, deterministic=True)
+        return aux
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step_fn, in_shardings=(repl, data), out_shardings=None)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Bundles config, mesh, compiled steps, and state for the train loop."""
+
+    cfg: TrainConfig
+    mesh: Mesh
+
+    def __post_init__(self):
+        self.optimizer = make_optimizer(self.cfg)
+        self.train_step = make_train_step(self.cfg, self.mesh, self.optimizer)
+        self.eval_step = make_eval_step(self.cfg, self.mesh)
+
+    def init(self, seed: Optional[int] = None) -> TrainState:
+        key = jax.random.key(self.cfg.seed if seed is None else seed)
+        with jax.default_device(jax.devices()[0]):
+            state = init_state(self.cfg, key)
+        repl = NamedSharding(self.mesh, P())
+        return jax.device_put(state, repl)
+
+    def shard_batch(self, batch: dict) -> dict:
+        data = NamedSharding(self.mesh, P("data"))
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, data), batch)

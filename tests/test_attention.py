@@ -1,0 +1,83 @@
+"""Pallas fused attention vs jnp reference, and vs a NumPy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmd_tpu.ops.attention import attention_reference, multi_head_attention
+
+
+def numpy_mha(q, k, v, num_heads):
+    """Independent NumPy oracle: softmax(QK^T/sqrt(dh))V over heads."""
+    b, t, d = q.shape
+    s = k.shape[1]
+    dh = d // num_heads
+    qh = q.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, s, num_heads, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, num_heads, dh).transpose(0, 2, 1, 3)
+    scores = qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(dh)
+    scores = scores - scores.max(-1, keepdims=True)
+    w = np.exp(scores)
+    w = w / w.sum(-1, keepdims=True)
+    ctx = w @ vh
+    return ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
+
+
+@pytest.mark.parametrize("t,s", [(64, 64), (512, 64), (64, 512), (512, 512)])
+def test_reference_matches_numpy(rng, t, s):
+    b, d, h = 2, 256, 8
+    q = rng.standard_normal((b, t, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, d)).astype(np.float32)
+    got = np.asarray(attention_reference(jnp.asarray(q), jnp.asarray(k),
+                                         jnp.asarray(v), h))
+    want = numpy_mha(q, k, v, h)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("t,s", [(64, 64), (512, 64), (64, 512), (512, 512)])
+def test_fused_matches_reference(rng, t, s):
+    b, d, h = 2, 256, 8
+    q = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    fused = multi_head_attention(q, k, v, h, fused=True)
+    ref = multi_head_attention(q, k, v, h, fused=False)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_grads_close_to_reference(rng):
+    b, t, s, d, h = 2, 64, 64, 256, 8
+    q = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+
+    def loss(fn):
+        return lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_, h) ** 2)
+
+    g_fused = jax.grad(loss(lambda *a, **kw: multi_head_attention(*a, fused=True)),
+                       argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(lambda *a, **kw: multi_head_attention(*a, fused=False)),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_attention_dropout_statistics(rng):
+    # Dropout on attention weights must preserve the expected value.
+    b, t, d, h = 4, 32, 64, 4
+    q = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    v = jnp.ones((b, t, d), jnp.float32)
+    det = multi_head_attention(q, k, v, h)
+    outs = []
+    for i in range(32):
+        outs.append(multi_head_attention(
+            q, k, v, h, dropout_rate=0.3,
+            dropout_rng=jax.random.key(i), deterministic=False))
+    mean = np.mean(np.stack([np.asarray(o) for o in outs]), axis=0)
+    # v = ones -> every output entry is ~1; dropout keeps the mean near 1.
+    np.testing.assert_allclose(mean, np.asarray(det), rtol=0.15, atol=0.15)
