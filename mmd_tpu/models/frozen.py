@@ -1,0 +1,86 @@
+"""Frozen-encoder asset management.
+
+The reference pulls its frozen encoders from the HF hub at run time
+(reference train.py:330-332, preprocess_embeddings.py:24-28). This
+environment has no network, so encoders resolve in priority order:
+
+  1. converted HF checkpoints under <assets>/[text_encoder|vit].ckpt
+     (orbax dirs produced by tools/convert_hf.py on a machine with weights);
+  2. deterministic seeded random init (same seed -> same params, so embed /
+     train / eval runs stay mutually consistent without any disk state).
+
+The tokenizer is data-dependent and therefore always persisted
+(<assets>/tokenizer.json), trained on first use from the corpus text.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Iterable, Optional
+
+import jax
+
+from mmd_tpu.data.tokenizer import WordPieceTokenizer
+from mmd_tpu.models import text_encoder as te
+from mmd_tpu.models import vit as V
+from mmd_tpu.models.transformer import TransformerConfig
+
+
+DEFAULT_ASSETS = "assets/encoders"
+
+
+@dataclasses.dataclass
+class FrozenEncoders:
+    tokenizer: WordPieceTokenizer
+    text_cfg: TransformerConfig
+    text_params: dict
+    vit_cfg: V.ViTConfig
+    vit_params: dict
+
+
+def _load_ckpt(path: Path):
+    if not path.exists():
+        return None
+    from mmd_tpu.core.checkpoint import load_params
+    return load_params(str(path))
+
+
+def load_or_init_frozen(
+    assets_dir: str | os.PathLike = DEFAULT_ASSETS,
+    vocab_texts: Optional[Iterable[str]] = None,
+    vocab_size: int = 30000,
+    seed: int = 0,
+    tiny: bool = False,
+) -> FrozenEncoders:
+    assets = Path(assets_dir)
+    assets.mkdir(parents=True, exist_ok=True)
+
+    tok_path = assets / "tokenizer.json"
+    if tok_path.exists():
+        tokenizer = WordPieceTokenizer.load(tok_path)
+    else:
+        if vocab_texts is None:
+            raise FileNotFoundError(
+                f"no tokenizer at {tok_path}; pass vocab_texts to train one")
+        tokenizer = WordPieceTokenizer.train(vocab_texts, vocab_size)
+        tokenizer.save(tok_path)
+
+    if tiny:
+        text_cfg = dataclasses.replace(
+            te.TINY_TEST, vocab_size=max(tokenizer.vocab_size, 128))
+        vit_cfg = V.VIT_TEST
+    else:
+        text_cfg = dataclasses.replace(
+            te.TEXT_ENCODER_XSMALL, vocab_size=tokenizer.vocab_size)
+        vit_cfg = V.ViTConfig()
+
+    text_params = _load_ckpt(assets / "text_encoder.ckpt")
+    if text_params is None:
+        text_params = te.init_text_encoder(jax.random.key(seed), text_cfg)
+    vit_params = _load_ckpt(assets / "vit.ckpt")
+    if vit_params is None:
+        vit_params = V.init_vit(jax.random.key(seed + 1), vit_cfg)
+
+    return FrozenEncoders(tokenizer, text_cfg, text_params, vit_cfg, vit_params)

@@ -1,0 +1,205 @@
+"""Generic functional transformer encoder/decoder stack.
+
+One implementation serves every frozen encoder the pipeline needs
+(reference §2.5: DeBERTa-v3-xsmall text encoder, SBERT bi-encoder,
+MiniLM cross-encoder, BLIP text decoder): BERT-style post-LN blocks with
+learned positions, built on ops.attention (Pallas fused path on TPU).
+
+Decoder mode adds causal self-attention + cross-attention over encoder
+states and supports a KV cache for lax.scan autoregressive decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mmd_tpu.models import layers as L
+from mmd_tpu.ops.attention import attention_reference, multi_head_attention
+
+
+@dataclasses.dataclass
+class TransformerConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 384
+    num_layers: int = 12
+    num_heads: int = 6
+    intermediate_size: int = 1536
+    max_position: int = 512
+    type_vocab_size: int = 2
+    dropout: float = 0.1
+    layer_norm_eps: float = 1e-7
+    is_decoder: bool = False         # causal self-attn + cross-attn
+    fused_attn: bool = True
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+# ----------------------------------------------------------------------------
+# Init
+# ----------------------------------------------------------------------------
+
+def _dense_init(key, i, o):
+    # BERT-style truncated-normal-ish init; xavier is fine for scratch training
+    return L.linear_init(key, i, o)
+
+
+def init_embeddings(key: jax.Array, cfg: TransformerConfig) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    std = 0.02
+    p = {
+        "word": jax.random.normal(k1, (cfg.vocab_size, cfg.hidden_size)) * std,
+        "position": jax.random.normal(k2, (cfg.max_position, cfg.hidden_size)) * std,
+        "ln": L.layernorm_init(cfg.hidden_size),
+    }
+    if cfg.type_vocab_size:
+        p["token_type"] = (
+            jax.random.normal(k3, (cfg.type_vocab_size, cfg.hidden_size)) * std
+        )
+    return p
+
+
+def init_layer(key: jax.Array, cfg: TransformerConfig) -> dict:
+    names = ["q", "k", "v", "attn_out", "ffn_in", "ffn_out"]
+    if cfg.is_decoder:
+        names += ["xq", "xk", "xv", "xattn_out"]
+    keys = jax.random.split(key, len(names))
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    dims = {
+        "q": (d, d), "k": (d, d), "v": (d, d), "attn_out": (d, d),
+        "ffn_in": (d, f), "ffn_out": (f, d),
+        "xq": (d, d), "xk": (d, d), "xv": (d, d), "xattn_out": (d, d),
+    }
+    p = {n: _dense_init(kk, *dims[n]) for kk, n in zip(keys, names)}
+    p["ln1"] = L.layernorm_init(d)
+    p["ln2"] = L.layernorm_init(d)
+    if cfg.is_decoder:
+        p["ln_x"] = L.layernorm_init(d)
+    return p
+
+
+def init_transformer(key: jax.Array, cfg: TransformerConfig) -> dict:
+    keys = jax.random.split(key, cfg.num_layers + 1)
+    return {
+        "embeddings": init_embeddings(keys[0], cfg),
+        "layers": [init_layer(k, cfg) for k in keys[1:]],
+    }
+
+
+# ----------------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------------
+
+def embed(params: dict, cfg: TransformerConfig, input_ids: jax.Array,
+          token_type_ids: Optional[jax.Array] = None,
+          position_offset: int | jax.Array = 0) -> jax.Array:
+    """(B, T) int32 -> (B, T, D). position_offset supports KV-cached decode."""
+    e = params["word"][input_ids]
+    t = input_ids.shape[1]
+    pos = jnp.arange(t) + position_offset
+    e = e + params["position"][pos][None, :, :]
+    if token_type_ids is not None and "token_type" in params:
+        e = e + params["token_type"][token_type_ids]
+    e = L.layernorm(params["ln"], e, cfg.layer_norm_eps)
+    return e.astype(jnp.dtype(cfg.compute_dtype))
+
+
+def _masked_attention(q, k, v, num_heads, mask, fused):
+    """mask: (B, 1, Tq, Tk) additive (-inf for masked) or None."""
+    if mask is None:
+        return multi_head_attention(q, k, v, num_heads, fused=fused)
+    # Additive-mask path stays in jnp (fused kernel handles the unmasked
+    # fast path; padded batches use this).
+    b, t, d = q.shape
+    h = num_heads
+    dh = d // h
+    qh = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
+                        preferred_element_type=jnp.float32) / (dh ** 0.5)
+    scores = scores + mask
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(vh.dtype)
+    ctx = jnp.einsum("bhts,bhsd->bhtd", w, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
+
+
+def encoder_layer(p: dict, cfg: TransformerConfig, x: jax.Array,
+                  attn_mask: Optional[jax.Array] = None,
+                  encoder_states: Optional[jax.Array] = None,
+                  cross_mask: Optional[jax.Array] = None,
+                  cache: Optional[dict] = None):
+    """Post-LN block. Returns (x, new_cache)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    q = L.linear(p["q"], x, dtype)
+    k = L.linear(p["k"], x, dtype)
+    v = L.linear(p["v"], x, dtype)
+    new_cache = None
+    if cache is not None:
+        # append current k/v at cache["idx"]
+        idx = cache["idx"]
+        ck = jax.lax.dynamic_update_slice(cache["k"], k, (0, idx, 0))
+        cv = jax.lax.dynamic_update_slice(cache["v"], v, (0, idx, 0))
+        k, v = ck, cv
+        new_cache = {"k": ck, "v": cv, "idx": idx + x.shape[1]}
+    ctx = _masked_attention(q, k, v, cfg.num_heads, attn_mask, cfg.fused_attn)
+    x = L.layernorm(p["ln1"], x + L.linear(p["attn_out"], ctx, dtype),
+                    cfg.layer_norm_eps)
+    if cfg.is_decoder and encoder_states is not None:
+        xq = L.linear(p["xq"], x, dtype)
+        xk = L.linear(p["xk"], encoder_states, dtype)
+        xv = L.linear(p["xv"], encoder_states, dtype)
+        xctx = _masked_attention(xq, xk, xv, cfg.num_heads, cross_mask,
+                                 cfg.fused_attn)
+        x = L.layernorm(p["ln_x"], x + L.linear(p["xattn_out"], xctx, dtype),
+                        cfg.layer_norm_eps)
+    h = L.linear(p["ffn_in"], x, dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    h = L.linear(p["ffn_out"], h, dtype)
+    x = L.layernorm(p["ln2"], x + h, cfg.layer_norm_eps)
+    return x, new_cache
+
+
+def attention_mask_from_ids(attention_mask: jax.Array, tq: int) -> jax.Array:
+    """(B, Tk) {0,1} -> additive (B, 1, tq, Tk) mask."""
+    neg = jnp.asarray(-1e9, jnp.float32)
+    m = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * neg
+    return jnp.broadcast_to(m, (attention_mask.shape[0], 1, tq,
+                                attention_mask.shape[1]))
+
+
+def causal_mask(t: int) -> jax.Array:
+    m = jnp.tril(jnp.ones((t, t), jnp.float32))
+    return (1.0 - m)[None, None, :, :] * -1e9
+
+
+def transformer_forward(
+    params: dict, cfg: TransformerConfig, input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    token_type_ids: Optional[jax.Array] = None,
+    encoder_states: Optional[jax.Array] = None,
+    encoder_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+) -> jax.Array:
+    """Full-sequence forward -> last_hidden_state (B, T, D)."""
+    x = embed(params["embeddings"], cfg, input_ids, token_type_ids)
+    t = x.shape[1]
+    mask = None
+    if attention_mask is not None:
+        mask = attention_mask_from_ids(attention_mask, t)
+    if causal:
+        cm = causal_mask(t)
+        mask = cm if mask is None else mask + cm
+    cross = None
+    if encoder_states is not None and encoder_mask is not None:
+        cross = attention_mask_from_ids(encoder_mask, t)
+    for p in params["layers"]:
+        x, _ = encoder_layer(p, cfg, x, mask, encoder_states, cross)
+    return x

@@ -1,0 +1,118 @@
+"""Text/image encoder contracts, masking semantics, HF conversion mapping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmd_tpu.models import text_encoder as te
+from mmd_tpu.models import vit as V
+from mmd_tpu.models.transformer import TransformerConfig, init_transformer
+
+
+def test_text_encoder_shapes_and_finite(rng):
+    cfg = te.TINY_TEST
+    params = te.init_text_encoder(jax.random.key(0), cfg)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    out = te.encode(params, cfg, ids, mask)
+    assert out.shape == (2, 16, cfg.hidden_size)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_padding_does_not_change_real_tokens(rng):
+    """Encoding [x, PAD...] must equal encoding x alone on the real positions."""
+    cfg = te.TINY_TEST
+    params = te.init_text_encoder(jax.random.key(1), cfg)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, 8)), jnp.int32)
+    padded = jnp.concatenate([ids, jnp.zeros((1, 8), jnp.int32)], axis=1)
+    mask = jnp.concatenate([jnp.ones((1, 8), jnp.int32),
+                            jnp.zeros((1, 8), jnp.int32)], axis=1)
+    out_short = te.encode(params, cfg, ids, jnp.ones((1, 8), jnp.int32))
+    out_padded = te.encode(params, cfg, padded, mask)
+    np.testing.assert_allclose(np.asarray(out_padded[:, :8]),
+                               np.asarray(out_short), rtol=1e-4, atol=1e-5)
+
+
+def test_mean_pool_respects_mask(rng):
+    hidden = jnp.asarray(rng.standard_normal((2, 4, 8)), jnp.float32)
+    mask = jnp.asarray([[1, 1, 0, 0], [1, 1, 1, 1]], jnp.int32)
+    pooled = te.mean_pool(hidden, mask)
+    np.testing.assert_allclose(
+        np.asarray(pooled[0]), np.asarray(hidden[0, :2]).mean(0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(pooled[1]), np.asarray(hidden[1]).mean(0), rtol=1e-6)
+
+
+def test_cross_encoder_scores(rng):
+    cfg = te.TINY_TEST
+    params = te.init_cross_encoder(jax.random.key(2), cfg)
+    ids, mask, types = np.zeros((3, 16), np.int32), np.ones((3, 16), np.int32), np.zeros((3, 16), np.int32)
+    ids[:, :6] = rng.integers(1, cfg.vocab_size, (3, 6))
+    s = te.cross_encoder_score(params, cfg, jnp.asarray(ids),
+                               jnp.asarray(mask), jnp.asarray(types))
+    assert s.shape == (3,) and np.isfinite(np.asarray(s)).all()
+
+
+def test_vit_contract(rng):
+    cfg = V.VIT_TEST
+    params = V.init_vit(jax.random.key(3), cfg)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    out = V.vit_forward(params, cfg, imgs)
+    assert out.shape == (2, cfg.num_tokens, cfg.hidden_size)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_vit_production_token_count():
+    cfg = V.ViTConfig()
+    assert cfg.num_tokens == 64 and cfg.hidden_size == 1024
+
+
+def test_patchify_roundtrip(rng):
+    imgs = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    patches = np.asarray(V.patchify(jnp.asarray(imgs), 4))
+    assert patches.shape == (1, 4, 3 * 16)
+    # first patch = top-left 4x4 block, channel-major per pixel
+    block = imgs[0, :4, :4, :]
+    np.testing.assert_allclose(
+        patches[0, 0], block.transpose(2, 0, 1).ravel(), rtol=1e-6)
+
+
+def test_hf_state_dict_conversion(rng):
+    """Round-trip: fabricate a BERT-style state dict, convert, check output
+    of a known simple case (1 layer, identity-ish weights load in the right
+    places)."""
+    cfg = TransformerConfig(vocab_size=16, hidden_size=8, num_layers=1,
+                            num_heads=2, intermediate_size=16,
+                            max_position=8, compute_dtype="float32")
+    sd = {}
+    def w(shape):
+        return rng.standard_normal(shape).astype(np.float32)
+    sd["embeddings.word_embeddings.weight"] = w((16, 8))
+    sd["embeddings.position_embeddings.weight"] = w((8, 8))
+    sd["embeddings.token_type_embeddings.weight"] = w((2, 8))
+    sd["embeddings.LayerNorm.weight"] = np.ones(8, np.float32)
+    sd["embeddings.LayerNorm.bias"] = np.zeros(8, np.float32)
+    for name in ["attention.self.query", "attention.self.key",
+                 "attention.self.value", "attention.output.dense"]:
+        sd[f"encoder.layer.0.{name}.weight"] = w((8, 8))
+        sd[f"encoder.layer.0.{name}.bias"] = w((8,))
+    sd["encoder.layer.0.intermediate.dense.weight"] = w((16, 8))
+    sd["encoder.layer.0.intermediate.dense.bias"] = w((16,))
+    sd["encoder.layer.0.output.dense.weight"] = w((8, 16))
+    sd["encoder.layer.0.output.dense.bias"] = w((8,))
+    for ln in ["attention.output.LayerNorm", "output.LayerNorm"]:
+        sd[f"encoder.layer.0.{ln}.weight"] = np.ones(8, np.float32)
+        sd[f"encoder.layer.0.{ln}.bias"] = np.zeros(8, np.float32)
+
+    params = te.load_hf_state_dict(sd, cfg)
+    np.testing.assert_array_equal(
+        params["embeddings"]["word"], sd["embeddings.word_embeddings.weight"])
+    # torch Linear stores (out, in); ours is (in, out)
+    np.testing.assert_array_equal(
+        params["layers"][0]["q"]["w"],
+        sd["encoder.layer.0.attention.self.query.weight"].T)
+    ids = jnp.asarray(rng.integers(0, 16, (2, 8)), jnp.int32)
+    out = te.encode(params, cfg, ids, jnp.ones((2, 8), jnp.int32))
+    assert out.shape == (2, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
