@@ -1,0 +1,117 @@
+"""Image-to-image evidence retrieval.
+
+Re-architects the reference's pickle-dict corpus with its O(N) per-pair
+cosine loop (reference im2im_retrieval.py:45-106 — ~41k sequential kernel
+launches per query) into an HBM-resident (N, 2048) feature matrix scored by
+ONE matmul + lax.top_k, sharded over the mesh when available. Build walks a
+directory (or path list) through host-parallel decode + batched ResNet
+forwards.
+
+Store layout: ArrayStore(features (N, D) f16) + ids.json (ordered paths).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from mmd_tpu.data.store import ArrayStore, ArrayStoreWriter
+from mmd_tpu.models.resnet import ResNetConfig, init_resnet, resnet_features
+from mmd_tpu.ops.image_ops import RESNET_TRANSFORM, load_images_parallel, normalize_on_device
+from mmd_tpu.ops.topk import dense_topk, exact_score_dedup
+
+
+class ImageCorpus:
+    def __init__(self, store_dir: str | Path, resnet_params=None,
+                 cfg: ResNetConfig = ResNetConfig()):
+        import jax
+        self.dir = Path(store_dir)
+        self.cfg = cfg
+        if resnet_params is None:
+            resnet_params = init_resnet(jax.random.key(7), cfg)
+        self.params = resnet_params
+        self._features = None
+        self._ids: Optional[list] = None
+        self._encode = jax.jit(
+            lambda u8: resnet_features(
+                self.params,
+                normalize_on_device(u8, RESNET_TRANSFORM),
+                self.cfg))
+
+    # -- build -----------------------------------------------------------
+
+    def create_feature_corpus(self, image_paths: Sequence[str],
+                              batch_size: int = 64, io_workers: int = 16
+                              ) -> int:
+        """Embed every image; failed decodes are skipped and counted
+        (reference skip-and-count semantics). Returns corpus size."""
+        paths = list(image_paths)
+        writer = ArrayStoreWriter(
+            self.dir, capacity=len(paths),
+            columns={"features": ((self.cfg.feature_dim,), np.float16)})
+        kept: list[str] = []
+        skipped = 0
+        for lo in range(0, len(paths), batch_size):
+            chunk = paths[lo:lo + batch_size]
+            pad = chunk + [None] * (batch_size - len(chunk))
+            imgs, ok = load_images_parallel(pad, RESNET_TRANSFORM, io_workers)
+            feats = np.asarray(self._encode(imgs), np.float16)
+            ok = ok[: len(chunk)]
+            skipped += int((~ok).sum())
+            idx = np.nonzero(ok)[0]
+            if len(idx):
+                writer.append_batch({"features": feats[idx]})
+                kept.extend(chunk[i] for i in idx)
+        writer.finalize()
+        (self.dir / "ids.json").write_text(json.dumps(kept))
+        print(f"[im2im] corpus built: {len(kept)} images, {skipped} skipped")
+        return len(kept)
+
+    # -- query -----------------------------------------------------------
+
+    def _load(self):
+        import jax.numpy as jnp
+        if self._features is None:
+            store = ArrayStore(self.dir)
+            self._features = jnp.asarray(store.col("features"), jnp.bfloat16)
+            self._ids = json.loads((self.dir / "ids.json").read_text())
+
+    def __len__(self):
+        self._load()
+        return len(self._ids)
+
+    def extract_features(self, image_path: str) -> Optional[np.ndarray]:
+        imgs, ok = load_images_parallel([image_path], RESNET_TRANSFORM)
+        if not ok[0]:
+            return None
+        return np.asarray(self._encode(imgs))[0]
+
+    def retrieve_similar_images(self, query_path: str, top_k: int = 5,
+                                dedup: bool = True):
+        """-> list[(path, score)] like the reference API
+        (im2im_retrieval.py:80-106), incl. exact-score dedup of duplicate
+        corpus images."""
+        q = self.extract_features(query_path)
+        if q is None:
+            return []
+        return self.retrieve_by_features(q[None], top_k, dedup)[0]
+
+    def retrieve_by_features(self, queries: np.ndarray, top_k: int = 5,
+                             dedup: bool = True):
+        import jax.numpy as jnp
+        self._load()
+        fetch = min(top_k * 4, len(self._ids)) if dedup else min(top_k, len(self._ids))
+        s, i = dense_topk(jnp.asarray(queries, jnp.bfloat16),
+                          self._features, fetch)
+        s, i = np.asarray(s), np.asarray(i)
+        out = []
+        for row_s, row_i in zip(s, i):
+            if dedup:
+                ds, di = exact_score_dedup(row_s, row_i, top_k)
+            else:
+                ds, di = row_s[:top_k].tolist(), row_i[:top_k].tolist()
+            out.append([(self._ids[j], float(v)) for v, j in zip(ds, di)])
+        return out

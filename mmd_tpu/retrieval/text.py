@@ -1,0 +1,150 @@
+"""Text-to-text evidence retrieval: bi-encoder recall + cross-encoder re-rank.
+
+Parity with the reference protocol (reference text2text_retrieval.py):
+  * TextCorpus.encode_corpus: embed every `evidence_enriched` row with the
+    bi-encoder (mean-pooled sentence embeddings, float16 store + ids
+    `f"{split}_{id}"`, :123-157);
+  * SemanticSearch.search(query, top_k): bi-encode the query, take top
+    (top_k*5) from the train AND test corpora (:56-64), re-rank the union
+    with the cross-encoder over [query, evidence] PAIRS (:69-95), merge,
+    sort by cross score, exact-score dedup, truncate (:97-120).
+
+TPU re-architecture: corpora live on device as one matrix per split; recall
+is one matmul + top_k; the cross-encoder re-rank runs as ONE batched forward
+over all candidate pairs instead of the reference's per-pair loop.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from mmd_tpu.data.store import ArrayStore, ArrayStoreWriter
+from mmd_tpu.data.tokenizer import WordPieceTokenizer
+from mmd_tpu.models import text_encoder as te
+from mmd_tpu.ops.topk import dense_topk, exact_score_dedup
+
+
+class TextCorpus:
+    """Builds + serves one split's evidence-embedding matrix."""
+
+    def __init__(self, store_dir: str | Path, tokenizer: WordPieceTokenizer,
+                 cfg=None, params=None, seed: int = 11,
+                 max_length: int = 512):
+        import jax
+        self.dir = Path(store_dir)
+        self.tokenizer = tokenizer
+        self.cfg = cfg or te.BI_ENCODER_BASE
+        if params is None:
+            import dataclasses
+            self.cfg = dataclasses.replace(
+                self.cfg, vocab_size=tokenizer.vocab_size)
+            params = te.init_text_encoder(jax.random.key(seed), self.cfg)
+        self.params = params
+        self.max_length = max_length
+        self._emb = None
+        self._ids: Optional[list] = None
+
+        @jax.jit
+        def _enc(ids, mask):
+            hidden = te.encode(self.params, self.cfg, ids, mask)
+            return te.mean_pool(hidden, mask)
+        self._encode_fn = _enc
+
+    def encode_texts(self, texts: Sequence[str], batch_size: int = 64
+                     ) -> np.ndarray:
+        out = []
+        texts = [str(t) for t in texts]
+        for lo in range(0, len(texts), batch_size):
+            chunk = texts[lo:lo + batch_size]
+            pad = chunk + [""] * (batch_size - len(chunk))
+            ids, mask, _ = self.tokenizer.encode_batch(pad, max_length=self.max_length)
+            emb = np.asarray(self._encode_fn(ids, mask), np.float32)
+            out.append(emb[: len(chunk)])
+        return np.concatenate(out) if out else np.zeros((0, self.cfg.hidden_size))
+
+    def encode_corpus(self, texts: Sequence[str], ids: Sequence[str],
+                      batch_size: int = 64) -> int:
+        emb = self.encode_texts(texts, batch_size).astype(np.float16)
+        writer = ArrayStoreWriter(
+            self.dir, capacity=len(emb),
+            columns={"embeddings": ((self.cfg.hidden_size,), np.float16)})
+        if len(emb):
+            writer.append_batch({"embeddings": emb})
+        writer.finalize()
+        (self.dir / "ids.json").write_text(json.dumps(list(map(str, ids))))
+        print(f"[text2text] corpus {self.dir}: {len(emb)} embeddings")
+        return len(emb)
+
+    def load(self):
+        import jax.numpy as jnp
+        if self._emb is None:
+            store = ArrayStore(self.dir)
+            self._emb = jnp.asarray(store.col("embeddings"), jnp.bfloat16)
+            self._ids = json.loads((self.dir / "ids.json").read_text())
+        return self._emb, self._ids
+
+
+class SemanticSearch:
+    """Two-stage search over one or more corpora with optional re-rank."""
+
+    def __init__(self, bi_encoder: TextCorpus, corpora: Sequence[TextCorpus],
+                 cross_encoder_params=None, cross_cfg=None,
+                 evidence_lookup=None, rerank_max_length: int = 256):
+        """evidence_lookup: id -> evidence text (needed for re-ranking)."""
+        import jax
+        self.bi = bi_encoder
+        self.corpora = list(corpora)
+        self.lookup = evidence_lookup or {}
+        self.cross_cfg = cross_cfg
+        self.cross_params = cross_encoder_params
+        self.rerank_max_length = rerank_max_length
+        if cross_encoder_params is not None:
+            @jax.jit
+            def _score(ids, mask, types):
+                return te.cross_encoder_score(
+                    self.cross_params, self.cross_cfg, ids, mask, types)
+            self._cross_fn = _score
+        else:
+            self._cross_fn = None
+
+    def _cross_scores(self, query: str, cand_ids: list[str]) -> np.ndarray:
+        texts = [str(self.lookup.get(c, "")) for c in cand_ids]
+        n = len(texts)
+        tok = self.bi.tokenizer
+        ids, mask, types = tok.encode_batch(
+            [query] * n, pairs=texts, max_length=self.rerank_max_length)
+        return np.asarray(self._cross_fn(ids, mask, types), np.float32)
+
+    def search(self, query: str, top_k: int = 5, recall_factor: int = 5,
+               dedup: bool = True):
+        """-> list[(id, score)]; cross-encoder scores when available, else
+        bi-encoder cosine."""
+        import jax.numpy as jnp
+        q = self.bi.encode_texts([query])  # (1, D)
+        cands: list[tuple[str, float]] = []
+        fetch = top_k * recall_factor
+        for corpus in self.corpora:
+            emb, ids = corpus.load()
+            k = min(fetch, len(ids))
+            if k == 0:
+                continue
+            s, i = dense_topk(jnp.asarray(q, jnp.bfloat16), emb, k)
+            s, i = np.asarray(s)[0], np.asarray(i)[0]
+            cands.extend((ids[j], float(v)) for v, j in zip(s, i))
+
+        if self._cross_fn is not None and cands:
+            cand_ids = [c for c, _ in cands]
+            scores = self._cross_scores(query, cand_ids)
+            cands = list(zip(cand_ids, scores.tolist()))
+
+        cands.sort(key=lambda x: -x[1])
+        if dedup:
+            s, i = exact_score_dedup(
+                np.array([c[1] for c in cands]),
+                np.arange(len(cands)), top_k)
+            return [(cands[j][0], v) for v, j in zip(s, i)]
+        return cands[:top_k]
