@@ -170,6 +170,19 @@ class WordPieceTokenizer:
             types[i, :len(ty)] = ty
         return out, mask, types
 
+    def decode(self, ids) -> str:
+        """Token ids -> text: drop specials, merge '##' continuations."""
+        words: list[str] = []
+        for i in ids:
+            tok = self.vocab[int(i)] if 0 <= int(i) < len(self.vocab) else UNK
+            if tok in SPECIALS:
+                continue
+            if tok.startswith("##") and words:
+                words[-1] += tok[2:]
+            else:
+                words.append(tok)
+        return " ".join(words)
+
     def _get_native(self):
         if self._native is None:
             try:

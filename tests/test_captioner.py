@@ -1,0 +1,120 @@
+"""Captioner: scan-decode correctness vs naive loop, loss, pipeline resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmd_tpu.models.captioner import (
+    CAPTIONER_TEST, caption_loss, generate, init_captioner,
+)
+from mmd_tpu.models import vit as V
+from mmd_tpu.models.transformer import (
+    attention_mask_from_ids, causal_mask, embed, encoder_layer,
+)
+
+
+@pytest.fixture(scope="module")
+def cap():
+    cfg = CAPTIONER_TEST
+    params = init_captioner(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def naive_greedy_decode(params, cfg, images, bos, eos, pad, t_max):
+    """Oracle: full-sequence re-forward at every step (no KV cache)."""
+    from mmd_tpu.models.captioner import _decoder_stack, _lm_logits
+    dcfg = cfg.decoder
+    enc = V.vit_forward(params["vit"], cfg.vit, images)
+    b = images.shape[0]
+    seq = np.full((b, 1), bos, np.int32)
+    done = np.zeros(b, bool)
+    outs = []
+    for _ in range(t_max):
+        ids = jnp.asarray(seq)
+        x = embed(params["decoder"]["embeddings"], dcfg, ids)
+        t = ids.shape[1]
+        x, _ = _decoder_stack(params, dcfg, x, causal_mask(t), enc, None)
+        logits = np.asarray(_lm_logits(params, dcfg, x))[:, -1]
+        nxt = logits.argmax(-1).astype(np.int32)
+        nxt = np.where(done, pad, nxt)
+        done = done | (nxt == eos)
+        outs.append(nxt)
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+    return np.stack(outs, axis=1)
+
+
+def test_kv_cached_decode_matches_naive(cap, rng):
+    cfg, params = cap
+    images = jnp.asarray(rng.standard_normal(
+        (2, cfg.vit.image_size, cfg.vit.image_size, 3)), jnp.float32)
+    bos, eos, pad = 2, 3, 0
+    fast = np.asarray(generate(params, cfg, images, bos, eos, pad,
+                               max_new_tokens=8))
+    slow = naive_greedy_decode(params, cfg, images, bos, eos, pad, 8)
+    np.testing.assert_array_equal(fast, slow)
+
+
+def test_generate_shapes_and_eos_padding(cap, rng):
+    cfg, params = cap
+    images = jnp.asarray(rng.standard_normal(
+        (3, cfg.vit.image_size, cfg.vit.image_size, 3)), jnp.float32)
+    out = np.asarray(generate(params, cfg, images, 2, 3, 0, 8))
+    assert out.shape == (3, 8)
+    for row in out:
+        hit = np.nonzero(row == 3)[0]
+        if len(hit):
+            assert (row[hit[0] + 1:] == 0).all()  # pad after EOS
+
+
+def test_caption_loss_decreases_under_training(cap, rng):
+    import optax
+    cfg, _ = cap
+    params = init_captioner(jax.random.key(1), cfg)
+    images = jnp.asarray(rng.standard_normal(
+        (4, cfg.vit.image_size, cfg.vit.image_size, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(4, cfg.decoder.vocab_size, (4, 8)), jnp.int32)
+    mask = jnp.ones((4, 8), jnp.int32)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda p: caption_loss(p, cfg, images, ids, mask)))
+    losses = []
+    for _ in range(20):
+        loss, g = grad_fn(params)
+        updates, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.5, losses
+
+
+def test_caption_pipeline_resume(tmp_path, rng):
+    import pandas as pd
+    from mmd_tpu.data.synthetic import synthetic_factify_tree
+    from mmd_tpu.data.tokenizer import WordPieceTokenizer
+    from mmd_tpu.pipelines.caption import (
+        CaptionEngine, get_last_processed_index, process_csv,
+    )
+    from mmd_tpu.pipelines.preprocess import preprocess_csv
+
+    synthetic_factify_tree(tmp_path, n_train=6, n_test=2, seed=5)
+    preprocess_csv("train", tmp_path)
+    tok = WordPieceTokenizer.train(["a b c d claim evidence"], 200)
+    engine = CaptionEngine(tok, cfg=CAPTIONER_TEST, batch_size=4)
+
+    out = process_csv("train", engine, tmp_path, save_every=4)
+    df = pd.read_csv(out)
+    assert {"claim_image_caption", "evidence_image_caption",
+            "claim_enriched", "evidence_enriched"} <= set(df.columns)
+    # enrichment contract: f"{claim}. {caption}" when captioned
+    row = df[df["claim_image_caption"].notna()
+             & (df["claim_image_caption"] != "")].head(1)
+    if len(row):
+        r = row.iloc[0]
+        assert r["claim_enriched"].startswith(str(r["claim"]))
+    assert get_last_processed_index(df) == len(df) - 1
+
+    # Resume over a complete file is a fast no-op
+    out2 = process_csv("train", engine, tmp_path)
+    df2 = pd.read_csv(out2)
+    pd.testing.assert_frame_equal(df, df2)
