@@ -1,0 +1,165 @@
+"""Single-pair and batched inference (reference evaluate.py parity).
+
+MisinformationPredictor bundles the frozen encoders, tokenizer, and a trained
+fusion checkpoint; `evaluate()` matches the reference contract
+(reference evaluate.py:94-196): per-path labels with confidence + full
+probability dicts, graceful None handling when an image fails to load
+(the affected modality paths come back None).
+
+TPU addition the reference lacks: `evaluate_batch()` classifies many
+(claim, evidence) pairs in ONE compiled forward — the demo's per-evidence
+loop (app.py:461-476 re-runs tokenizer+encoders per pair) becomes a single
+batch.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from mmd_tpu.core.config import ModelConfig
+from mmd_tpu.inference.rules import LABELS
+from mmd_tpu.models import text_encoder as te
+from mmd_tpu.models import vit as V
+from mmd_tpu.models.frozen import FrozenEncoders, load_or_init_frozen
+from mmd_tpu.models.fusion import fusion_forward, init_fusion_params
+from mmd_tpu.ops.image_ops import EVAL_TRANSFORM, load_images_parallel, normalize_on_device
+
+IDX_TO_LABEL = {0: "support", 1: "not_enough_information", 2: "refute"}
+PATHS = ("text_text", "text_image", "image_text", "image_image")
+
+
+class MisinformationPredictor:
+    def __init__(self, model_cfg: ModelConfig, fusion_params=None,
+                 checkpoint_path: Optional[str] = None,
+                 encoders: Optional[FrozenEncoders] = None,
+                 assets_dir: str = "assets/encoders",
+                 max_length: int = 512, batch_size: int = 16):
+        import jax
+        import jax.numpy as jnp
+
+        self.cfg = model_cfg
+        self.enc = encoders or load_or_init_frozen(assets_dir)
+        self.max_length = max_length
+        self.batch_size = batch_size
+        if fusion_params is None:
+            if checkpoint_path:
+                from mmd_tpu.core.checkpoint import load_params
+                template = init_fusion_params(jax.random.key(0), model_cfg)
+                fusion_params = load_params(checkpoint_path, template)
+            else:
+                fusion_params = init_fusion_params(jax.random.key(0), model_cfg)
+        self.params = fusion_params
+
+        vit_dtype = jnp.dtype(self.enc.vit_cfg.compute_dtype)
+
+        @jax.jit
+        def _text(ids, mask):
+            return te.encode(self.enc.text_params, self.enc.text_cfg, ids, mask)
+
+        @jax.jit
+        def _image(u8):
+            x = normalize_on_device(u8, self._img_transform(), vit_dtype)
+            return V.vit_forward(self.enc.vit_params, self.enc.vit_cfg, x)
+
+        @jax.jit
+        def _fusion(x_t, x_i, e_t, e_i):
+            (y_tt, y_ti), (y_it, y_ii) = fusion_forward(
+                self.params, self.cfg, x_t, x_i, e_t, e_i, deterministic=True)
+            return y_tt, y_ti, y_it, y_ii
+
+        self._text_fn, self._image_fn, self._fusion_fn = _text, _image, _fusion
+
+    def _img_transform(self):
+        import dataclasses
+        size = self.enc.vit_cfg.image_size
+        t = EVAL_TRANSFORM
+        return t if t.size == size else dataclasses.replace(t, size=size)
+
+    # ------------------------------------------------------------------
+
+    def _encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        n = len(texts)
+        pad = list(map(str, texts)) + [""] * (self.batch_size - n % self.batch_size
+                                              if n % self.batch_size else 0)
+        out = []
+        for lo in range(0, len(pad), self.batch_size):
+            ids, mask, _ = self.enc.tokenizer.encode_batch(
+                pad[lo:lo + self.batch_size], max_length=self.max_length)
+            out.append(np.asarray(self._text_fn(ids, mask), np.float32))
+        return np.concatenate(out)[:n]
+
+    def _encode_images(self, paths: Sequence[Optional[str]]):
+        n = len(paths)
+        rem = n % self.batch_size
+        pad = list(paths) + [None] * (self.batch_size - rem if rem else 0)
+        embs, oks = [], []
+        for lo in range(0, len(pad), self.batch_size):
+            imgs, ok = load_images_parallel(pad[lo:lo + self.batch_size],
+                                            self._img_transform())
+            embs.append(np.asarray(self._image_fn(imgs), np.float32))
+            oks.append(ok)
+        return np.concatenate(embs)[:n], np.concatenate(oks)[:n]
+
+    @staticmethod
+    def _softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    def _process_logits(self, logits_row) -> dict:
+        probs = self._softmax(np.asarray(logits_row, np.float64))
+        idx = int(probs.argmax())
+        return {
+            "label": IDX_TO_LABEL[idx],
+            "confidence": float(probs[idx]),
+            "probabilities": {IDX_TO_LABEL[i]: float(p)
+                              for i, p in enumerate(probs)},
+        }
+
+    # ------------------------------------------------------------------
+
+    def evaluate_batch(self, claim_texts, claim_image_paths,
+                       evidence_texts, evidence_image_paths,
+                       detailed: bool = False) -> list:
+        """Classify N pairs in batched compiled forwards. Returns, per pair,
+        {path: label-or-None} (or full detail dicts when detailed=True)."""
+        x_t = self._encode_texts(claim_texts)
+        e_t = self._encode_texts(evidence_texts)
+        x_i, x_ok = self._encode_images(claim_image_paths)
+        e_i, e_ok = self._encode_images(evidence_image_paths)
+        y_tt, y_ti, y_it, y_ii = (np.asarray(a, np.float32)
+                                  for a in self._fusion_fn(x_t, x_i, e_t, e_i))
+        results = []
+        for j in range(len(x_t)):
+            avail = {
+                "text_text": True,
+                "text_image": bool(e_ok[j]),
+                "image_text": bool(x_ok[j]),
+                "image_image": bool(x_ok[j] and e_ok[j]),
+            }
+            logits = {"text_text": y_tt[j], "text_image": y_ti[j],
+                      "image_text": y_it[j], "image_image": y_ii[j]}
+            out = {}
+            for path in PATHS:
+                if not avail[path]:
+                    out[path] = None
+                    continue
+                detail = self._process_logits(logits[path])
+                out[path] = detail if detailed else detail["label"]
+            results.append(out)
+        return results
+
+    def evaluate(self, claim_text, claim_image_path, evidence_text,
+                 evidence_image_path, detailed: bool = False
+                 ) -> Optional[dict]:
+        """Single pair (reference evaluate.py:94-196 contract)."""
+        try:
+            return self.evaluate_batch(
+                [claim_text], [claim_image_path],
+                [evidence_text], [evidence_image_path], detailed=detailed)[0]
+        except Exception as e:  # graceful None like the reference :194-196
+            print(f"[predictor] evaluation error: {e}")
+            return None
