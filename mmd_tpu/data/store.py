@@ -143,7 +143,18 @@ class ArrayStore:
                 return
             sidx = np.sort(idx)  # sorted gather is much faster on memmaps
             inv = np.argsort(np.argsort(idx))
-            yield {c: np.ascontiguousarray(self.col(c)[sidx][inv]) for c in cols}
+            yield {c: self._gather(c, sidx, inv) for c in cols}
+
+    def _gather(self, col: str, sidx: np.ndarray, inv: np.ndarray) -> np.ndarray:
+        src = self.col(col)
+        try:
+            from mmd_tpu.native.bindings import gather_rows
+            out = gather_rows(src, sidx)
+            if out is not None:
+                return out[inv]
+        except Exception:
+            pass
+        return np.ascontiguousarray(src[sidx][inv])
 
 
 def write_store(directory, arrays: Dict[str, np.ndarray]) -> ArrayStore:

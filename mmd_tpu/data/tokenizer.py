@@ -156,7 +156,10 @@ class WordPieceTokenizer:
         """Fixed-shape batch: (ids (B, L) i32, mask (B, L) i32,
         token_type_ids (B, L) i32)."""
         native = self._get_native()
-        if native is not None and pairs is None:
+        if (native is not None and pairs is None
+                and all(isinstance(t, str) and t.isascii() for t in texts)):
+            # native path is ASCII-exact; non-ASCII normalization (NFKC)
+            # stays in Python
             return native.encode_batch(texts, max_length)
         b = len(texts)
         out = np.full((b, max_length), self.pad_id, np.int32)

@@ -1,0 +1,133 @@
+"""ctypes bindings for the native (C++) host-path components.
+
+Libraries build with `make -C mmd_tpu/native` (g++, no external deps) and
+load lazily; every caller has a pure-Python fallback, so the framework works
+unbuilt and gets faster when built. `build()` compiles on demand.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile the native libs in-tree. Returns True on success."""
+    try:
+        subprocess.run(
+            ["make", "-C", str(_DIR)],
+            check=True,
+            stdout=subprocess.DEVNULL if quiet else None,
+            stderr=subprocess.DEVNULL if quiet else None,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load(name: str, auto_build: bool = False) -> Optional[ctypes.CDLL]:
+    path = _DIR / name
+    if not path.exists():
+        if not (auto_build and build()):
+            return None
+    try:
+        return ctypes.CDLL(str(path))
+    except OSError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+class NativeTokenizer:
+    """Batch WordPiece encoder backed by libmmdtok.so.
+
+    Exact parity with the Python encoder for ASCII text; callers should
+    route non-ASCII batches through the Python path (the dispatch in
+    data/tokenizer.py does this automatically).
+    """
+
+    def __init__(self, vocab: Sequence[str]):
+        lib = _load("libmmdtok.so")
+        if lib is None:
+            raise RuntimeError("libmmdtok.so not built (make -C mmd_tpu/native)")
+        lib.mmdtok_create.restype = ctypes.c_void_p
+        lib.mmdtok_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32]
+        lib.mmdtok_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, _I32P, _I32P, ctypes.c_int32]
+        lib.mmdtok_destroy.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        ids = {t: i for i, t in enumerate(vocab)}
+        blob = "\n".join(vocab).encode("utf-8")
+        self._handle = lib.mmdtok_create(
+            blob, len(blob), ids["[PAD]"], ids["[UNK]"], ids["[CLS]"],
+            ids["[SEP]"])
+        if not self._handle:
+            raise RuntimeError("mmdtok_create failed")
+
+    def encode_batch(self, texts: Sequence[str], max_length: int,
+                     num_threads: int = 0):
+        n = len(texts)
+        payload = b"\x00".join(str(t).encode("utf-8") for t in texts) + b"\x00"
+        ids = np.empty((n, max_length), np.int32)
+        mask = np.empty((n, max_length), np.int32)
+        nt = num_threads or min(16, os.cpu_count() or 1)
+        self._lib.mmdtok_encode_batch(
+            self._handle, payload, len(payload), n, max_length,
+            ids.ctypes.data_as(_I32P), mask.ctypes.data_as(_I32P), nt)
+        types = np.zeros((n, max_length), np.int32)
+        return ids, mask, types
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.mmdtok_destroy(self._handle)
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Row gather
+# ---------------------------------------------------------------------------
+
+_gather_lib: Optional[ctypes.CDLL] = None
+_gather_checked = False
+
+
+def gather_rows(src: np.ndarray, indices: np.ndarray,
+                num_threads: int = 0) -> Optional[np.ndarray]:
+    """Parallel src[indices] for a 2D+ C-contiguous array (memmap-friendly).
+    Returns None when the native lib is unavailable (caller falls back)."""
+    global _gather_lib, _gather_checked
+    if not _gather_checked:
+        _gather_checked = True
+        lib = _load("libmmdgather.so")
+        if lib is not None:
+            lib.mmdgather_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int32]
+            _gather_lib = lib
+    if _gather_lib is None or not src.flags["C_CONTIGUOUS"]:
+        return None
+    idx = np.ascontiguousarray(indices, np.int64)
+    out = np.empty((len(idx), *src.shape[1:]), src.dtype)
+    row_bytes = src.dtype.itemsize * int(np.prod(src.shape[1:], initial=1))
+    nt = num_threads or min(16, os.cpu_count() or 1)
+    _gather_lib.mmdgather_rows(
+        ctypes.c_void_p(src.ctypes.data), row_bytes,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(idx),
+        ctypes.c_void_p(out.ctypes.data), nt)
+    return out
