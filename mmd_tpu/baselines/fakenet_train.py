@@ -93,13 +93,15 @@ def predict_fakenet(params, cfg: FakeNetConfig, batches,
     import jax
 
     @jax.jit
-    def fwd(batch):
+    def _fwd(p, batch):
         logits, _ = fakenet_forward(
-            params, cfg, batch["claim_text_embeds"],
+            p, cfg, batch["claim_text_embeds"],
             batch["claim_image_embeds"], batch["doc_text_embeds"],
             batch["doc_image_embeds"], batch["add_feature"],
             deterministic=True)
         return logits
+
+    fwd = lambda batch: _fwd(params, batch)
 
     preds, labels, probs = [], [], []
     for batch in batches:

@@ -56,22 +56,26 @@ class MisinformationPredictor:
 
         vit_dtype = jnp.dtype(self.enc.vit_cfg.compute_dtype)
 
+        # params as explicit jit args (closed-over arrays become HLO
+        # constants and bloat the compile payload)
         @jax.jit
-        def _text(ids, mask):
-            return te.encode(self.enc.text_params, self.enc.text_cfg, ids, mask)
+        def _text(p, ids, mask):
+            return te.encode(p, self.enc.text_cfg, ids, mask)
 
         @jax.jit
-        def _image(u8):
+        def _image(p, u8):
             x = normalize_on_device(u8, self._img_transform(), vit_dtype)
-            return V.vit_forward(self.enc.vit_params, self.enc.vit_cfg, x)
+            return V.vit_forward(p, self.enc.vit_cfg, x)
 
         @jax.jit
-        def _fusion(x_t, x_i, e_t, e_i):
+        def _fusion(p, x_t, x_i, e_t, e_i):
             (y_tt, y_ti), (y_it, y_ii) = fusion_forward(
-                self.params, self.cfg, x_t, x_i, e_t, e_i, deterministic=True)
+                p, self.cfg, x_t, x_i, e_t, e_i, deterministic=True)
             return y_tt, y_ti, y_it, y_ii
 
-        self._text_fn, self._image_fn, self._fusion_fn = _text, _image, _fusion
+        self._text_fn = lambda ids, mask: _text(self.enc.text_params, ids, mask)
+        self._image_fn = lambda u8: _image(self.enc.vit_params, u8)
+        self._fusion_fn = lambda *a: _fusion(self.params, *a)
 
     def _img_transform(self):
         import dataclasses

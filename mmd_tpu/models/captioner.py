@@ -38,7 +38,7 @@ class CaptionerConfig:
         default_factory=lambda: TransformerConfig(
             vocab_size=30000, hidden_size=384, num_layers=6, num_heads=6,
             intermediate_size=1536, max_position=64, type_vocab_size=0,
-            is_decoder=True))
+            is_decoder=True, encoder_hidden_size=1024))
     max_caption_len: int = 32
 
 

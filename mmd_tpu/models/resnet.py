@@ -71,10 +71,19 @@ def init_resnet(key: jax.Array, cfg: ResNetConfig = ResNetConfig()) -> dict:
             stride = 2 if (b == 0 and stage > 0) else 1
             p["blocks"].append(
                 _bottleneck_init(keys[ki], cin, cmid, stride))
-            p["blocks"][-1]["_stride"] = stride
             cin = cmid * 4
             ki += 1
     return p
+
+
+def block_strides(cfg: ResNetConfig) -> list[int]:
+    """Static per-block strides (kept out of the params pytree so params can
+    be jit arguments without tracing ints)."""
+    out = []
+    for stage, n in enumerate(cfg.stage_sizes):
+        for b in range(n):
+            out.append(2 if (b == 0 and stage > 0) else 1)
+    return out
 
 
 def _conv(x, w, stride=1, dtype=jnp.bfloat16):
@@ -98,8 +107,7 @@ def resnet_features(params: dict, images: jax.Array,
     x = jax.nn.relu(_bn(params["bn_stem"], x))
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
-    for p in params["blocks"]:
-        stride = p["_stride"]
+    for p, stride in zip(params["blocks"], block_strides(cfg)):
         r = x
         h = jax.nn.relu(_bn(p["bn1"], _conv(x, p["conv1"], 1, dtype)))
         h = jax.nn.relu(_bn(p["bn2"], _conv(h, p["conv2"], stride, dtype)))
@@ -135,7 +143,6 @@ def load_torchvision_state_dict(state_dict: dict,
                 "conv1": conv(f"{pre}.conv1"), "bn1": bn(f"{pre}.bn1"),
                 "conv2": conv(f"{pre}.conv2"), "bn2": bn(f"{pre}.bn2"),
                 "conv3": conv(f"{pre}.conv3"), "bn3": bn(f"{pre}.bn3"),
-                "_stride": 2 if (b == 0 and stage > 0) else 1,
             }
             if f"{pre}.downsample.0.weight" in state_dict:
                 blk["proj"] = conv(f"{pre}.downsample.0")

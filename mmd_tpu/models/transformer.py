@@ -33,8 +33,13 @@ class TransformerConfig:
     dropout: float = 0.1
     layer_norm_eps: float = 1e-7
     is_decoder: bool = False         # causal self-attn + cross-attn
+    encoder_hidden_size: int = 0     # cross-attn K/V input dim (0 = hidden_size)
     fused_attn: bool = True
     compute_dtype: str = "bfloat16"
+
+    @property
+    def enc_dim(self) -> int:
+        return self.encoder_hidden_size or self.hidden_size
 
     @property
     def head_dim(self) -> int:
@@ -71,10 +76,11 @@ def init_layer(key: jax.Array, cfg: TransformerConfig) -> dict:
         names += ["xq", "xk", "xv", "xattn_out"]
     keys = jax.random.split(key, len(names))
     d, f = cfg.hidden_size, cfg.intermediate_size
+    e = cfg.enc_dim
     dims = {
         "q": (d, d), "k": (d, d), "v": (d, d), "attn_out": (d, d),
         "ffn_in": (d, f), "ffn_out": (f, d),
-        "xq": (d, d), "xk": (d, d), "xv": (d, d), "xattn_out": (d, d),
+        "xq": (d, d), "xk": (e, d), "xv": (e, d), "xattn_out": (d, d),
     }
     p = {n: _dense_init(kk, *dims[n]) for kk, n in zip(keys, names)}
     p["ln1"] = L.layernorm_init(d)

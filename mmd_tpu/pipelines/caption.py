@@ -57,14 +57,14 @@ class CaptionEngine:
             __import__("dataclasses").replace(TRAIN_TRANSFORM, size=size)
 
         @jax.jit
-        def _gen(u8):
+        def _gen(params, u8):
             import jax.numpy as jnp
             x = normalize_on_device(u8, self.transform,
                                     jnp.dtype(cfg.vit.compute_dtype))
-            return generate(self.params, self.cfg, x,
+            return generate(params, self.cfg, x,
                             bos_id=tokenizer.cls_id, eos_id=tokenizer.sep_id,
                             pad_id=tokenizer.pad_id)
-        self._gen = _gen
+        self._gen = lambda u8: _gen(self.params, u8)
 
     def caption_paths(self, paths, io_workers: int = 16) -> list[str]:
         """Caption a list of image paths (None/missing -> ""). Any length;

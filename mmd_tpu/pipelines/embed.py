@@ -59,15 +59,20 @@ def embed_csv(
     img_dim = enc.vit_cfg.hidden_size
     root = get_project_root()
 
+    # params as explicit jit args (closed-over arrays become HLO constants
+    # and bloat the compile payload)
     @jax.jit
-    def encode_text(ids, mask):
-        return te.encode(enc.text_params, enc.text_cfg, ids, mask)
+    def _encode_text(params, ids, mask):
+        return te.encode(params, enc.text_cfg, ids, mask)
 
     @jax.jit
-    def encode_image(u8):
+    def _encode_image(params, u8):
         x = normalize_on_device(u8, TRAIN_TRANSFORM,
                                 jnp.dtype(enc.vit_cfg.compute_dtype))
-        return V.vit_forward(enc.vit_params, enc.vit_cfg, x)
+        return V.vit_forward(params, enc.vit_cfg, x)
+
+    encode_text = lambda ids, mask: _encode_text(enc.text_params, ids, mask)
+    encode_image = lambda u8: _encode_image(enc.vit_params, u8)
 
     store_path = store_path or store_path_for_csv(csv_path)
     writer = ArrayStoreWriter(
@@ -89,6 +94,8 @@ def embed_csv(
     start_row = int(cursor_path.read_text()) if cursor_path.exists() else 0
     skipped = 0
     t0 = time.time()
+    from mmd_tpu.core.profiling import Stages
+    stages = Stages()
 
     size = enc.vit_cfg.image_size
     transform = TRAIN_TRANSFORM if size == 256 else \
@@ -101,10 +108,13 @@ def embed_csv(
         def pad(texts):
             return list(texts) + [""] * (batch_size - n)
 
-        c_ids, c_mask, _ = enc.tokenizer.encode_batch(
-            pad(rows[claim_col].fillna("").astype(str)), max_length=max_length)
-        d_ids, d_mask, _ = enc.tokenizer.encode_batch(
-            pad(rows[doc_col].fillna("").astype(str)), max_length=max_length)
+        with stages.stage("tokenize", log=False):
+            c_ids, c_mask, _ = enc.tokenizer.encode_batch(
+                pad(rows[claim_col].fillna("").astype(str)),
+                max_length=max_length)
+            d_ids, d_mask, _ = enc.tokenizer.encode_batch(
+                pad(rows[doc_col].fillna("").astype(str)),
+                max_length=max_length)
 
         def paths(col):
             out = []
@@ -115,15 +125,18 @@ def embed_csv(
                     out.append(None)
             return out + [None] * (batch_size - n)
 
-        c_imgs, c_ok = load_images_parallel(paths("claim_image"), transform,
-                                            io_workers)
-        d_imgs, d_ok = load_images_parallel(paths("evidence_image"), transform,
-                                            io_workers)
+        with stages.stage("image_decode", log=False):
+            c_imgs, c_ok = load_images_parallel(paths("claim_image"),
+                                                transform, io_workers)
+            d_imgs, d_ok = load_images_parallel(paths("evidence_image"),
+                                                transform, io_workers)
 
-        ct = np.asarray(encode_text(c_ids, c_mask), np.float16)
-        dt = np.asarray(encode_text(d_ids, d_mask), np.float16)
-        ci = np.asarray(encode_image(c_imgs), np.float16)
-        di = np.asarray(encode_image(d_imgs), np.float16)
+        with stages.stage("text_encode", log=False):
+            ct = np.asarray(encode_text(c_ids, c_mask), np.float16)
+            dt = np.asarray(encode_text(d_ids, d_mask), np.float16)
+        with stages.stage("image_encode", log=False):
+            ci = np.asarray(encode_image(c_imgs), np.float16)
+            di = np.asarray(encode_image(d_imgs), np.float16)
 
         assert ct.shape == (batch_size, max_length, text_dim), ct.shape
         assert ci.shape == (batch_size, img_tokens, img_dim), ci.shape
@@ -149,6 +162,7 @@ def embed_csv(
     print(f"[embed] {csv_path}: {done} samples embedded, {skipped} skipped "
           f"(missing images), {dt_s:.1f}s "
           f"({(len(df) - start_row) / max(dt_s, 1e-9):.1f} rows/s) -> {store_path}")
+    print("[embed] " + stages.report().replace("\n", "\n[embed] "))
     return ArrayStore(store_path)
 
 

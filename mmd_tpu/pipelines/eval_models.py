@@ -38,8 +38,8 @@ def predict_store(store: ArrayStore, model_cfg: ModelConfig, fusion_params,
     from mmd_tpu.models.fusion import fusion_forward
 
     @jax.jit
-    def fwd(x_t, x_i, e_t, e_i):
-        out = fusion_forward(fusion_params, model_cfg, x_t, x_i, e_t, e_i,
+    def _fwd(params, x_t, x_i, e_t, e_i):
+        out = fusion_forward(params, model_cfg, x_t, x_i, e_t, e_i,
                              deterministic=True)
         if model_cfg.factify or model_cfg.text_only:
             logits, _ = out
@@ -48,6 +48,7 @@ def predict_store(store: ArrayStore, model_cfg: ModelConfig, fusion_params,
         import jax.numpy as jnp
         return jnp.stack([y_tt, y_ti, y_it, y_ii], axis=1)
 
+    fwd = lambda *a: _fwd(fusion_params, *a)
     preds, labels = [], []
     for batch in store.batches(batch_size, drop_last=False):
         mask = batch.pop("_pad_mask", None)

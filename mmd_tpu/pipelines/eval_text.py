@@ -32,10 +32,12 @@ def evaluate_text_only(store: ArrayStore, model_cfg: ModelConfig,
     assert model_cfg.text_only
 
     @jax.jit
-    def fwd(x_t, e_t):
-        logits, _ = fusion_forward(fusion_params, model_cfg, X_t=x_t, E_t=e_t,
+    def _fwd(params, x_t, e_t):
+        logits, _ = fusion_forward(params, model_cfg, X_t=x_t, E_t=e_t,
                                    deterministic=True)
         return logits
+
+    fwd = lambda *a: _fwd(fusion_params, *a)
 
     preds, labels = [], []
     for batch in store.batches(batch_size, drop_last=False,

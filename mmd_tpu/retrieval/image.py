@@ -35,11 +35,10 @@ class ImageCorpus:
         self.params = resnet_params
         self._features = None
         self._ids: Optional[list] = None
-        self._encode = jax.jit(
-            lambda u8: resnet_features(
-                self.params,
-                normalize_on_device(u8, RESNET_TRANSFORM),
-                self.cfg))
+        _feat = jax.jit(
+            lambda params, u8: resnet_features(
+                params, normalize_on_device(u8, RESNET_TRANSFORM), self.cfg))
+        self._encode = lambda u8: _feat(self.params, u8)
 
     # -- build -----------------------------------------------------------
 

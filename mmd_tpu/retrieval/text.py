@@ -49,10 +49,10 @@ class TextCorpus:
         self._ids: Optional[list] = None
 
         @jax.jit
-        def _enc(ids, mask):
-            hidden = te.encode(self.params, self.cfg, ids, mask)
+        def _enc(params, ids, mask):
+            hidden = te.encode(params, self.cfg, ids, mask)
             return te.mean_pool(hidden, mask)
-        self._encode_fn = _enc
+        self._encode_fn = lambda ids, mask: _enc(self.params, ids, mask)
 
     def encode_texts(self, texts: Sequence[str], batch_size: int = 64
                      ) -> np.ndarray:
@@ -104,10 +104,11 @@ class SemanticSearch:
         self.rerank_max_length = rerank_max_length
         if cross_encoder_params is not None:
             @jax.jit
-            def _score(ids, mask, types):
+            def _score(params, ids, mask, types):
                 return te.cross_encoder_score(
-                    self.cross_params, self.cross_cfg, ids, mask, types)
-            self._cross_fn = _score
+                    params, self.cross_cfg, ids, mask, types)
+            self._cross_fn = (lambda ids, mask, types:
+                              _score(self.cross_params, ids, mask, types))
         else:
             self._cross_fn = None
 

@@ -77,10 +77,10 @@ def _loss_fn(params, mcfg: ModelConfig, batch, rng, deterministic=False):
     return total, aux
 
 
-def make_train_step(
-    cfg: TrainConfig, mesh: Mesh, optimizer: Optional[optax.GradientTransformation] = None
+def make_raw_step(
+    cfg: TrainConfig, optimizer: Optional[optax.GradientTransformation] = None
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
-    """Compiled DP train step over the mesh: state replicated, batch sharded."""
+    """Unjitted step function (compose into jit/fori_loop as needed)."""
     optimizer = optimizer or make_optimizer(cfg)
     mcfg = cfg.model
 
@@ -94,6 +94,14 @@ def make_train_step(
         new_state = TrainState(state.step + 1, params, opt_state, state.rng)
         return new_state, aux
 
+    return step_fn
+
+
+def make_train_step(
+    cfg: TrainConfig, mesh: Mesh, optimizer: Optional[optax.GradientTransformation] = None
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Compiled DP train step over the mesh: state replicated, batch sharded."""
+    step_fn = make_raw_step(cfg, optimizer)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     state_shardings = jax.tree_util.tree_map(lambda _: repl, None, is_leaf=lambda x: True)

@@ -88,6 +88,32 @@ def test_caption_loss_decreases_under_training(cap, rng):
     assert losses[-1] < losses[0] - 0.5, losses
 
 
+def test_mixed_encoder_decoder_dims(rng):
+    """Decoder cross-attention must project from the ENCODER width (the
+    production config is ViT 1024 -> decoder 384)."""
+    import dataclasses
+    from mmd_tpu.models import vit as V
+    from mmd_tpu.models.captioner import CaptionerConfig
+    from mmd_tpu.models.transformer import TransformerConfig
+    cfg = CaptionerConfig(
+        vit=dataclasses.replace(V.VIT_TEST, hidden_size=48, num_heads=4),
+        decoder=TransformerConfig(
+            vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+            intermediate_size=64, max_position=16, type_vocab_size=0,
+            is_decoder=True, encoder_hidden_size=48,
+            compute_dtype="float32"),
+        max_caption_len=8)
+    params = init_captioner(jax.random.key(5), cfg)
+    images = jnp.asarray(rng.standard_normal(
+        (2, cfg.vit.image_size, cfg.vit.image_size, 3)), jnp.float32)
+    out = np.asarray(generate(params, cfg, images, 2, 3, 0, 6))
+    assert out.shape == (2, 6)
+    # loss path too
+    ids = jnp.asarray(rng.integers(4, 64, (2, 8)), jnp.int32)
+    loss = caption_loss(params, cfg, images, ids, jnp.ones((2, 8), jnp.int32))
+    assert np.isfinite(float(loss))
+
+
 def test_caption_pipeline_resume(tmp_path, rng):
     import pandas as pd
     from mmd_tpu.data.synthetic import synthetic_factify_tree
