@@ -114,6 +114,52 @@ def make_train_step(
     )
 
 
+def make_encoding_train_step(cfg: TrainConfig, mesh: Mesh, enc,
+                             optimizer: Optional[optax.GradientTransformation] = None):
+    """Train step for RAW batches: the frozen text/image encoders run inside
+    the same compiled step (reference train.py:134-143's non-pre_embed path),
+    under stop_gradient, then the fusion loss/update. Batch columns come
+    from pipelines/raw_store.py. Frozen params are explicit args (replicated)
+    so they are neither differentiated nor baked into the HLO."""
+    from mmd_tpu.models import text_encoder as te
+    from mmd_tpu.models import vit as V
+    from mmd_tpu.ops.image_ops import TRAIN_TRANSFORM, normalize_on_device
+
+    optimizer = optimizer or make_optimizer(cfg)
+    mcfg = cfg.model
+    dtype = jnp.dtype(mcfg.compute_dtype)
+
+    def encode(frozen, batch):
+        text = lambda ids, mask: te.encode(frozen["text"], enc.text_cfg, ids, mask)
+        image = lambda u8: V.vit_forward(
+            frozen["vit"], enc.vit_cfg,
+            normalize_on_device(u8, TRAIN_TRANSFORM, dtype))
+        emb = {
+            "claim_text_embeds": text(batch["claim_ids"], batch["claim_mask"]),
+            "doc_text_embeds": text(batch["doc_ids"], batch["doc_mask"]),
+            "claim_image_embeds": image(batch["claim_image"]),
+            "doc_image_embeds": image(batch["doc_image"]),
+        }
+        emb = jax.tree_util.tree_map(jax.lax.stop_gradient, emb)
+        emb["labels"] = batch["labels"]
+        return emb
+
+    def step_fn(state: TrainState, frozen: dict, batch: dict):
+        emb = encode(frozen, batch)
+        rng = jax.random.fold_in(state.rng, state.step)
+        (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+            state.params, mcfg, emb, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state, state.rng), aux
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step_fn, in_shardings=(repl, repl, data),
+                   out_shardings=(repl, None), donate_argnums=(0,))
+
+
 def make_eval_step(cfg: TrainConfig, mesh: Mesh):
     """Compiled eval step: loss + preds without updates (deterministic)."""
     mcfg = cfg.model
@@ -129,14 +175,29 @@ def make_eval_step(cfg: TrainConfig, mesh: Mesh):
 
 @dataclasses.dataclass
 class Trainer:
-    """Bundles config, mesh, compiled steps, and state for the train loop."""
+    """Bundles config, mesh, compiled steps, and state for the train loop.
+
+    With `encoders` (a FrozenEncoders), batches are RAW (token ids + uint8
+    images from pipelines/raw_store.py) and the frozen encoders run inside
+    the compiled step; otherwise batches are pre-embedded."""
 
     cfg: TrainConfig
     mesh: Mesh
+    encoders: Any = None
 
     def __post_init__(self):
         self.optimizer = make_optimizer(self.cfg)
-        self.train_step = make_train_step(self.cfg, self.mesh, self.optimizer)
+        repl = NamedSharding(self.mesh, P())
+        if self.encoders is not None:
+            enc_step = make_encoding_train_step(
+                self.cfg, self.mesh, self.encoders, self.optimizer)
+            frozen = jax.device_put(
+                {"text": self.encoders.text_params,
+                 "vit": self.encoders.vit_params}, repl)
+            self.train_step = lambda state, batch: enc_step(state, frozen, batch)
+        else:
+            self.train_step = make_train_step(self.cfg, self.mesh,
+                                              self.optimizer)
         self.eval_step = make_eval_step(self.cfg, self.mesh)
 
     def init(self, seed: Optional[int] = None) -> TrainState:

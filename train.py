@@ -61,13 +61,7 @@ def main():
         def train_batches(epoch):
             return iter(data)
         val_batches = None
-    else:
-        if not cfg.data.pre_embed:
-            raise SystemExit(
-                "raw-CSV training requires the frozen encoders; run the embed "
-                "pipeline first and pass --pre_embed "
-                "(python -m mmd_tpu.pipelines.embed --csv <train_csv>)"
-            )
+    elif cfg.data.pre_embed:
         store = ArrayStore(store_path_for_csv(cfg.data.train_data, True))
         print(f"[train] {len(store)} pre-embedded samples")
 
@@ -81,6 +75,34 @@ def main():
 
             def val_batches():
                 return val_store.batches(cfg.batch_size, drop_last=False)
+    else:
+        # Raw path (reference train.py default): frozen encoders run inside
+        # the compiled step; the raw store auto-builds like the reference's
+        # lazy h5 (dataset.py:141-146).
+        import os
+        import pandas as pd
+        from mmd_tpu.models.frozen import load_or_init_frozen
+        from mmd_tpu.pipelines.raw_store import build_raw_store, raw_store_path
+
+        df = pd.read_csv(cfg.data.train_data)
+        texts = (df["claim"].fillna("").astype(str).tolist()
+                 + df["evidence"].fillna("").astype(str).tolist())
+        enc = load_or_init_frozen("assets/encoders", vocab_texts=texts)
+        sp = raw_store_path(cfg.data.train_data)
+        if not os.path.exists(os.path.join(sp, "meta.json")):
+            print(f"[train] raw store not found at {sp}; building...")
+        store = build_raw_store(cfg.data.train_data, enc.tokenizer)
+        print(f"[train] {len(store)} raw samples (on-the-fly encoding)")
+        trainer = Trainer(cfg, mesh, encoders=enc)
+
+        def train_batches(epoch):
+            return store.batches(cfg.batch_size, shuffle=cfg.data.shuffle,
+                                 seed=cfg.seed + epoch, drop_last=True,
+                                 columns=["claim_ids", "claim_mask",
+                                          "doc_ids", "doc_mask",
+                                          "claim_image", "doc_image",
+                                          "labels"])
+        val_batches = None
 
     state = run_training(trainer, train_batches, val_batches,
                          use_wandb=args.wandb)
