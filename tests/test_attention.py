@@ -66,6 +66,25 @@ def test_fused_grads_close_to_reference(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("t,s", [(512, 64), (64, 512), (512, 512)])
+def test_flash_backward_matches_reference_all_shapes(rng, t, s):
+    b, d, h = 2, 256, 8
+    q = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    co = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+
+    def loss(fused):
+        return lambda q_, k_, v_: jnp.sum(
+            multi_head_attention(q_, k_, v_, h, fused=fused) * co)
+
+    gf = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_attention_dropout_statistics(rng):
     # Dropout on attention weights must preserve the expected value.
     b, t, d, h = 4, 32, 64, 4
