@@ -114,3 +114,31 @@ class ImageCorpus:
                 ds, di = row_s[:top_k].tolist(), row_i[:top_k].tolist()
             out.append([(self._ids[j], float(v)) for v, j in zip(ds, di)])
         return out
+
+
+def main():
+    """CLI parity with `python -m src.evidence.im2im_retrieval` (reference
+    im2im_retrieval.py:145-167: build the corpus, run one demo query)."""
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--store", type=str, default="data/retrieval/image_corpus")
+    p.add_argument("--build_dir", type=str, default=None,
+                   help="directory of images to (re)build the corpus from")
+    p.add_argument("--query", type=str, default=None)
+    p.add_argument("--top_k", type=int, default=5)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args()
+    from mmd_tpu.models.resnet import RESNET_TEST, ResNetConfig
+    corpus = ImageCorpus(args.store,
+                         cfg=RESNET_TEST if args.tiny else ResNetConfig())
+    if args.build_dir:
+        paths = sorted(str(x) for x in Path(args.build_dir).glob("*.jpg"))
+        corpus.create_feature_corpus(paths)
+    if args.query:
+        for path, score in corpus.retrieve_similar_images(args.query,
+                                                          args.top_k):
+            print(f"{score:.4f}  {path}")
+
+
+if __name__ == "__main__":
+    main()

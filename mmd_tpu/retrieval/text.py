@@ -149,3 +149,47 @@ class SemanticSearch:
                 np.arange(len(cands)), top_k)
             return [(cands[j][0], v) for v, j in zip(s, i)]
         return cands[:top_k]
+
+
+def main():
+    """CLI parity with `python -m src.evidence.text2text_retrieval`
+    (reference text2text_retrieval.py:160-195: build corpora, run one demo
+    query)."""
+    import argparse
+    import pandas as pd
+    from mmd_tpu.data.schema import get_project_root
+    p = argparse.ArgumentParser()
+    p.add_argument("--splits", nargs="+", default=["train", "test"])
+    p.add_argument("--assets", type=str, default="assets/encoders")
+    p.add_argument("--query", type=str, default=None)
+    p.add_argument("--top_k", type=int, default=5)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args()
+    root = get_project_root()
+    tok = WordPieceTokenizer.load(Path(args.assets) / "tokenizer.json")
+    from mmd_tpu.models import text_encoder as te
+    cfg = te.TINY_TEST if args.tiny else None
+    corpora = []
+    lookup = {}
+    for split in args.splits:
+        csv = root / "data" / "preprocessed" / f"{split}_enriched.csv"
+        if not csv.exists():
+            csv = root / "data" / "preprocessed" / f"{split}.csv"
+        df = pd.read_csv(csv)
+        col = "evidence_enriched" if "evidence_enriched" in df else "evidence"
+        corpus = TextCorpus(root / "data" / "retrieval" / f"text_{split}",
+                            tok, cfg=cfg)
+        if not (corpus.dir / "meta.json").exists():
+            corpus.encode_corpus(df[col].fillna("").astype(str).tolist(),
+                                 [f"{split}_{i}" for i in df["id"]])
+        lookup.update({f"{split}_{r['id']}": str(r[col])
+                       for _, r in df.iterrows()})
+        corpora.append(corpus)
+    if args.query:
+        search = SemanticSearch(corpora[0], corpora, evidence_lookup=lookup)
+        for eid, score in search.search(args.query, args.top_k):
+            print(f"{score:.4f}  {eid}  {lookup.get(eid, '')[:100]}")
+
+
+if __name__ == "__main__":
+    main()
