@@ -40,6 +40,9 @@ def log(*a):
 
 def main():
     import jax
+    # Hardware RBG keys: MLP-dropout mask generation is ~20% of the step
+    # under threefry; rbg is statistically fine for dropout.
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
     from mmd_tpu.core.config import ModelConfig, TrainConfig
     from mmd_tpu.core.mesh import make_mesh

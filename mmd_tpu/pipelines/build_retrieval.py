@@ -47,13 +47,22 @@ def build_text_corpora(splits, tokenizer, root: Path, tiny: bool = False,
 
 
 def build_image_corpus(splits, root: Path, tiny: bool = False,
-                       batch_size: int = 32):
+                       batch_size: int = 32,
+                       assets: str | Path = "assets/encoders"):
     from mmd_tpu.models.resnet import RESNET_TEST, ResNetConfig
     from mmd_tpu.retrieval.corpus_utils import build_evidence_corpus_dir
     from mmd_tpu.retrieval.image import ImageCorpus
     corpus_dir = build_evidence_corpus_dir(splits, root=root)
     paths = sorted(str(p) for p in corpus_dir.glob("*.jpg"))
+    # converted torchvision weights (tools/convert_hf.py --resnet) if present
+    resnet_params = None
+    ckpt = Path(assets) / "resnet50.ckpt"
+    if not tiny and ckpt.exists():
+        from mmd_tpu.core.checkpoint import load_params
+        resnet_params = load_params(str(ckpt))
+        print(f"[im2im] using converted weights from {ckpt}")
     corpus = ImageCorpus(root / "data" / "retrieval" / "image_corpus",
+                         resnet_params=resnet_params,
                          cfg=RESNET_TEST if tiny else ResNetConfig())
     corpus.create_feature_corpus(paths, batch_size=batch_size)
     return corpus

@@ -1,0 +1,165 @@
+"""End-to-end pipeline driver: preprocess -> caption -> embed ->
+retrieval corpora -> train -> eval -> demo verification.
+
+The offline, batched equivalent of the reference demo's five steps plus
+training (BASELINE.json "end-to-end" config), with per-stage wall-clock
+timings. `--synthetic N` fabricates a Factify-shaped tree first so the whole
+thing runs anywhere (no network).
+
+Usage:
+  python -m mmd_tpu.pipelines.run_all --synthetic 64 --tiny --epochs 2
+  python -m mmd_tpu.pipelines.run_all --epochs 5          # real data under ./data
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", type=str, default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate a synthetic Factify tree with N train rows")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny encoder/captioner configs (smoke)")
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--embed_dim", type=int, default=256)
+    p.add_argument("--top_k", type=int, default=3)
+    args = p.parse_args()
+
+    from mmd_tpu.core.profiling import Stages
+    stages = Stages()
+
+    if args.synthetic:
+        from mmd_tpu.data.synthetic import synthetic_factify_tree
+        root = Path(args.root or "/tmp/mmd_pipeline")
+        with stages.stage("synthesize"):
+            synthetic_factify_tree(root, n_train=args.synthetic,
+                                   n_test=max(args.synthetic // 4, 4))
+        os.environ["MMD_TPU_ROOT"] = str(root)
+    else:
+        root = Path(args.root) if args.root else None
+        if root:
+            os.environ["MMD_TPU_ROOT"] = str(root)
+
+    from mmd_tpu.data.schema import get_project_root
+    root = get_project_root()
+    assets = root / "assets" / "encoders"
+
+    # 1. preprocess
+    from mmd_tpu.pipelines.preprocess import preprocess_csv
+    with stages.stage("preprocess"):
+        train_csv = preprocess_csv("train", root)
+        test_csv = preprocess_csv("test", root)
+    assert train_csv and test_csv
+
+    # frozen encoder assets (tokenizer trains on first use)
+    from mmd_tpu.models.frozen import load_or_init_frozen
+    with stages.stage("assets"):
+        df = pd.read_csv(train_csv)
+        texts = (df["claim"].fillna("").astype(str).tolist()
+                 + df["evidence"].fillna("").astype(str).tolist())
+        enc = load_or_init_frozen(assets, vocab_texts=texts, tiny=args.tiny)
+
+    # 2. caption enrichment
+    from mmd_tpu.models.captioner import CAPTIONER_TEST
+    from mmd_tpu.pipelines.caption import CaptionEngine, process_csv
+    with stages.stage("caption"):
+        engine = CaptionEngine(enc.tokenizer,
+                               cfg=CAPTIONER_TEST if args.tiny else None,
+                               batch_size=min(args.batch_size, 32))
+        process_csv("train", engine, root)
+        process_csv("test", engine, root)
+
+    # 3. embed
+    from mmd_tpu.pipelines.embed import embed_csv
+    with stages.stage("embed"):
+        train_store = embed_csv(str(train_csv), enc, enriched=False,
+                                batch_size=args.batch_size)
+        test_store = embed_csv(str(test_csv), enc, enriched=False,
+                               batch_size=args.batch_size)
+
+    # 4. retrieval corpora
+    from mmd_tpu.pipelines.build_retrieval import (
+        build_image_corpus, build_text_corpora,
+    )
+    with stages.stage("retrieval_build"):
+        text_corpora = build_text_corpora(["train", "test"], enc.tokenizer,
+                                          root, tiny=args.tiny,
+                                          batch_size=args.batch_size)
+        image_corpus = build_image_corpus(["train"], root, tiny=args.tiny,
+                                          batch_size=args.batch_size)
+
+    # 5. train the fusion classifier
+    import jax
+    from mmd_tpu.core.config import ModelConfig, TrainConfig
+    from mmd_tpu.core.mesh import make_mesh
+    from mmd_tpu.training.loop import evaluate, run_training
+    from mmd_tpu.training.trainer import Trainer
+    model = ModelConfig(
+        text_input_dim=enc.text_cfg.hidden_size,
+        image_input_dim=enc.vit_cfg.hidden_size,
+        embed_dim=args.embed_dim if not args.tiny else 32,
+        num_heads=8 if not args.tiny else 4,
+        hidden_dim=64 if not args.tiny else 16,
+        fused_attn=jax.default_backend() == "tpu")
+    bs = min(args.batch_size, max(len(train_store) // 2, 1))
+    cfg = TrainConfig(model=model, batch_size=bs, epochs=args.epochs,
+                      lr=1e-3, output_dir=str(root / "results"),
+                      save_every=0, log_every=5)
+    mesh = make_mesh()
+    trainer = Trainer(cfg, mesh)
+    with stages.stage("train"):
+        state = run_training(
+            trainer,
+            lambda e: train_store.batches(bs, shuffle=True, seed=e,
+                                          columns=[c for c in train_store.columns
+                                                   if c != "id"]),
+        )
+
+    # 6. eval drivers
+    from mmd_tpu.pipelines.eval_models import evaluate_store
+    with stages.stage("eval"):
+        metrics = evaluate_store(test_store, model, state.params,
+                                 batch_size=bs,
+                                 results_csv=str(root / "results" / "eval.csv"))
+    print("[run_all] eval:", {k: round(v, 3) for k, v in metrics.items()
+                              if "unified" in k})
+
+    # 7. demo verification of one claim
+    from mmd_tpu.demo.pipeline import ClaimVerificationPipeline, EvidenceIndex
+    from mmd_tpu.inference.predictor import MisinformationPredictor
+    from mmd_tpu.retrieval.text import SemanticSearch
+    with stages.stage("demo_verify"):
+        index = EvidenceIndex(
+            {"train": root / "data" / "preprocessed" / "train_enriched.csv",
+             "test": root / "data" / "preprocessed" / "test_enriched.csv"},
+            root=root)
+        search = SemanticSearch(text_corpora[0], text_corpora,
+                                evidence_lookup=index.text_lookup())
+        predictor = MisinformationPredictor(
+            model, fusion_params=state.params, encoders=enc,
+            batch_size=min(bs, 16))
+        pipe = ClaimVerificationPipeline(
+            predictor, text_search=search, image_corpus=image_corpus,
+            caption_engine=engine, evidence_index=index)
+        df_test = pd.read_csv(test_csv)
+        row = df_test.iloc[0]
+        img = row["claim_image"]
+        img_path = str(root / img) if isinstance(img, str) else None
+        result = pipe.verify(str(row["claim"]), img_path, top_k=args.top_k)
+    print(f"[run_all] demo verdict for test row 0: "
+          f"{result.final_classification} "
+          f"({len(result.evidences)} evidences, caption={result.caption!r})")
+    print(stages.report())
+
+
+if __name__ == "__main__":
+    main()

@@ -104,8 +104,7 @@ def make_train_step(
     step_fn = make_raw_step(cfg, optimizer)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    state_shardings = jax.tree_util.tree_map(lambda _: repl, None, is_leaf=lambda x: True)
-    # Shardings by structure: state fully replicated; batch sharded on dim 0.
+    # State fully replicated; batch sharded on dim 0.
     return jax.jit(
         step_fn,
         in_shardings=(repl, data),

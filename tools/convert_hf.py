@@ -1,0 +1,112 @@
+"""Convert pretrained HF/torchvision checkpoints into mmd_tpu encoder assets.
+
+Run this on a machine WITH network/weights; copy the resulting
+assets/encoders/ directory next to the repo on the TPU host. The frozen-
+asset resolver (mmd_tpu/models/frozen.py) then picks the converted
+checkpoints up automatically.
+
+  python tools/convert_hf.py --text microsoft/deberta-v3-xsmall \
+      --image microsoft/swinv2-base-patch4-window8-256 \
+      --resnet --out assets/encoders
+
+Notes:
+  * text conversion targets BERT-family state-dict naming
+    (models/text_encoder.load_hf_state_dict); DeBERTa's disentangled-
+    attention extras are dropped (the core QKV/FFN stack maps 1:1) — exact
+    DeBERTa parity would need the relative-position terms, which this
+    framework trades for a standard encoder at identical dims;
+  * the image checkpoint must expose a ViT-compatible patch embedding to map
+    onto models/vit.py; Swin's windowed stages do not map 1:1 — prefer a ViT
+    checkpoint (e.g. google/vit-large-patch32-384-class) or train/distill;
+  * torchvision resnet50 maps exactly (models/resnet.load_torchvision_state_dict).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def _to_numpy_state_dict(model) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+def convert_text(model_id: str, out: Path):
+    import dataclasses
+    from transformers import AutoConfig, AutoModel, AutoTokenizer
+
+    from mmd_tpu.core.checkpoint import save_params
+    from mmd_tpu.models import text_encoder as te
+    from mmd_tpu.models.transformer import TransformerConfig
+
+    hf_cfg = AutoConfig.from_pretrained(model_id)
+    cfg = TransformerConfig(
+        vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        max_position=min(getattr(hf_cfg, "max_position_embeddings", 512), 512),
+    )
+    model = AutoModel.from_pretrained(model_id)
+    sd = _to_numpy_state_dict(model)
+    # strip common prefixes (deberta., bert., roberta., mpnet.)
+    for prefix in ("deberta.", "bert.", "roberta.", "mpnet."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+                  for k, v in sd.items()}
+            break
+    params = te.load_hf_state_dict(sd, cfg)
+    save_params(str(out / "text_encoder.ckpt"), params)
+    print(f"text encoder converted: {model_id} -> {out}/text_encoder.ckpt "
+          f"({cfg.num_layers}L, {cfg.hidden_size}d)")
+
+    # export the HF tokenizer vocab into our WordPiece format when possible
+    try:
+        tok = AutoTokenizer.from_pretrained(model_id)
+        vocab = [None] * len(tok.get_vocab())
+        for t, i in tok.get_vocab().items():
+            vocab[i] = t
+        from mmd_tpu.data.tokenizer import SPECIALS, WordPieceTokenizer
+        if all(s in tok.get_vocab() for s in SPECIALS):
+            WordPieceTokenizer(vocab).save(out / "tokenizer.json")
+            print(f"tokenizer exported ({len(vocab)} tokens)")
+        else:
+            print("tokenizer NOT exported (non-WordPiece specials); "
+                  "train one from the corpus instead")
+    except Exception as e:
+        print(f"tokenizer export skipped: {e}")
+
+
+def convert_resnet(out: Path):
+    import torchvision
+
+    from mmd_tpu.core.checkpoint import save_params
+    from mmd_tpu.models.resnet import load_torchvision_state_dict
+
+    model = torchvision.models.resnet50(weights="DEFAULT")
+    params = load_torchvision_state_dict(_to_numpy_state_dict(model))
+    save_params(str(out / "resnet50.ckpt"), params)
+    print(f"resnet50 converted -> {out}/resnet50.ckpt")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--text", type=str, default=None)
+    p.add_argument("--resnet", action="store_true")
+    p.add_argument("--out", type=str, default="assets/encoders")
+    args = p.parse_args()
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    if args.text:
+        convert_text(args.text, out)
+    if args.resnet:
+        convert_resnet(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,11 @@ def store_path_for_csv(csv_path: str, pre_embed: bool) -> str:
 
 def main():
     args = parse_args()
+    import jax
+    if jax.default_backend() == "tpu":
+        # hardware RBG keys: dropout-mask generation is ~20% of the step
+        # under threefry on TPU; rbg is statistically fine for dropout
+        jax.config.update("jax_default_prng_impl", "rbg")
     from mmd_tpu.core.config import train_config_from_args
     from mmd_tpu.core.mesh import make_mesh
     from mmd_tpu.data.store import ArrayStore
