@@ -96,6 +96,25 @@ def categories_to_label_array(categories: Sequence[str]) -> np.ndarray:
     return out.astype(np.int32)
 
 
+def paths_to_category_idx_jnp(labels):
+    """Device-side (N, 4) -> (N,) 5-class category idx; unmatched patterns
+    map to Insufficient_Text (all-NEI), mirroring the unknown-category
+    default."""
+    import jax.numpy as jnp
+    table = jnp.asarray(LABEL_TABLE)
+    eq = (labels[:, None, :] == table[None, :, :]).all(-1)
+    hit = eq.any(-1)
+    idx = jnp.argmax(eq, -1)
+    return jnp.where(hit, idx, CATEGORY_TO_IDX["Insufficient_Text"]).astype(jnp.int32)
+
+
+def paths_to_simplified_jnp(labels):
+    """Device-side (N, 4) -> (N,) 3-class {Support, NEI, Refute}."""
+    import jax.numpy as jnp
+    cat = paths_to_category_idx_jnp(labels)
+    return jnp.asarray(SIMPLIFIED_TABLE)[cat]
+
+
 def paths_to_category_idx(labels: np.ndarray) -> np.ndarray:
     """(N, 4) per-path labels -> (N,) 5-class category idx, -1 if unmatched.
 

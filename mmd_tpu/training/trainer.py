@@ -60,6 +60,13 @@ def _loss_fn(params, mcfg: ModelConfig, batch, rng, deterministic=False):
     )
     labels = batch["labels"]
     if mcfg.factify or mcfg.text_only:
+        # stores carry 4-path labels; derive the single target on device
+        if labels.ndim == 2:
+            from mmd_tpu.data.labels import (
+                paths_to_category_idx_jnp, paths_to_simplified_jnp,
+            )
+            labels = (paths_to_category_idx_jnp(labels) if mcfg.factify
+                      else paths_to_simplified_jnp(labels))
         logits, _ = outputs
         loss = single_loss(logits, labels)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)

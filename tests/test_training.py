@@ -70,6 +70,31 @@ def test_factify_mode_train_step(mesh8, rng):
     assert np.asarray(aux["preds"]).shape == (16, 1)
 
 
+def test_factify_training_from_path_labels(mesh8, rng):
+    """Stores carry (B, 4) path labels; factify mode derives the 5-way
+    target on device via the inverse table."""
+    from mmd_tpu.data import labels as lb
+    cfg = small_cfg(factify=True, num_classes=5)
+    tr = Trainer(cfg, mesh8)
+    state = tr.init()
+    batch = small_batch(rng)           # labels are (16, 4)
+    assert batch["labels"].shape == (16, 4)
+    state, aux = tr.train_step(state, tr.shard_batch(batch))
+    got = np.asarray(aux["labels"])[:, 0]
+    want = lb.paths_to_category_idx(batch["labels"])
+    np.testing.assert_array_equal(got, np.where(want >= 0, want, 2))
+
+
+def test_text_only_training_from_path_labels(mesh8, rng):
+    cfg = small_cfg(text_only=True, num_classes=3)
+    tr = Trainer(cfg, mesh8)
+    state = tr.init()
+    batch = small_batch(rng)
+    state, aux = tr.train_step(state, tr.shard_batch(batch))
+    labels = np.asarray(aux["labels"])[:, 0]
+    assert set(np.unique(labels)) <= {0, 1, 2}
+
+
 def test_checkpoint_roundtrip(mesh8, rng, tmp_path):
     from mmd_tpu.core.checkpoint import CheckpointManager
     cfg = small_cfg()
