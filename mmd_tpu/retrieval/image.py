@@ -26,10 +26,15 @@ from mmd_tpu.ops.topk import dense_topk, exact_score_dedup
 
 class ImageCorpus:
     def __init__(self, store_dir: str | Path, resnet_params=None,
-                 cfg: ResNetConfig = ResNetConfig()):
+                 cfg: ResNetConfig = ResNetConfig(), mesh=None):
+        """With `mesh`, corpus rows shard across its devices and queries run
+        the local-topk -> ICI all-gather -> re-topk reduction
+        (ops/topk.make_sharded_topk)."""
         import jax
         self.dir = Path(store_dir)
         self.cfg = cfg
+        self.mesh = mesh
+        self._sharded_fn = None
         if resnet_params is None:
             resnet_params = init_resnet(jax.random.key(7), cfg)
         self.params = resnet_params
@@ -72,11 +77,27 @@ class ImageCorpus:
     # -- query -----------------------------------------------------------
 
     def _load(self):
+        import jax
         import jax.numpy as jnp
         if self._features is None:
             store = ArrayStore(self.dir)
-            self._features = jnp.asarray(store.col("features"), jnp.bfloat16)
+            feats = store.col("features")
             self._ids = json.loads((self.dir / "ids.json").read_text())
+            if self.mesh is not None:
+                # shard rows over the mesh (pad to divisibility with -inf-
+                # normed rows that can never win)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                import numpy as np
+                n_dev = self.mesh.devices.size
+                pad = (-len(feats)) % n_dev
+                if pad:
+                    feats = np.concatenate(
+                        [feats, np.zeros((pad, feats.shape[1]), feats.dtype)])
+                self._features = jax.device_put(
+                    jnp.asarray(feats, jnp.bfloat16),
+                    NamedSharding(self.mesh, P("data")))
+            else:
+                self._features = jnp.asarray(feats, jnp.bfloat16)
 
     def __len__(self):
         self._load()
@@ -103,16 +124,29 @@ class ImageCorpus:
         import jax.numpy as jnp
         self._load()
         fetch = min(top_k * 4, len(self._ids)) if dedup else min(top_k, len(self._ids))
-        s, i = dense_topk(jnp.asarray(queries, jnp.bfloat16),
-                          self._features, fetch)
+        q = jnp.asarray(queries, jnp.bfloat16)
+        if self.mesh is not None:
+            from mmd_tpu.ops.topk import make_sharded_topk
+            if self._sharded_fn is None:
+                self._sharded_fn = make_sharded_topk(
+                    self.mesh, "data", n_corpus=self._features.shape[0],
+                    k=fetch)
+            s, i = self._sharded_fn(q, self._features)
+        else:
+            s, i = dense_topk(q, self._features, fetch)
         s, i = np.asarray(s), np.asarray(i)
+        # drop padded rows (they score ~0 and land last, but be safe)
+        valid = i < len(self._ids)
+        s = np.where(valid, s, -np.inf)
         out = []
+        n_ids = len(self._ids)
         for row_s, row_i in zip(s, i):
             if dedup:
                 ds, di = exact_score_dedup(row_s, row_i, top_k)
             else:
                 ds, di = row_s[:top_k].tolist(), row_i[:top_k].tolist()
-            out.append([(self._ids[j], float(v)) for v, j in zip(ds, di)])
+            out.append([(self._ids[j], float(v)) for v, j in zip(ds, di)
+                        if j < n_ids and np.isfinite(v)])
         return out
 
 
