@@ -161,12 +161,19 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     _accumulate_kv(dk_ref, dv_ref, dk, dv)
 
 
+def _pad128(x: int) -> int:
+    """Mosaic pads the last (lane) dim to 128; VMEM sizing must use the
+    PADDED extent or small head dims blow the budget 16x."""
+    return ((x + 127) // 128) * 128
+
+
 def _vmem_bytes(g: int, block_q: int, s: int, dh: int, itemsize: int) -> int:
     """Estimated per-program VMEM: double-buffered q/k/v/out blocks plus the
     (T, S)-sized intermediates (fp32 scores, exp, and the low-precision cast
     of p for the PV matmul — Mosaic keeps ~3 such live)."""
-    io = 2 * itemsize * (g * block_q * dh * 2 + g * s * dh * 2)
-    scores = 3 * 4 * g * block_q * s
+    io = 2 * itemsize * (g * block_q * _pad128(dh) * 2
+                         + g * s * _pad128(dh) * 2)
+    scores = 3 * 4 * g * block_q * _pad128(s)
     return io + scores
 
 
@@ -237,15 +244,16 @@ def _bwd_tiles(bh: int, t: int, s: int) -> tuple[int, int]:
     backward/dropout kernels (scores, p, u, dp, masked dp, ds + pipeline
     copies)."""
     budget = 6 * 1024 * 1024
+    sp = _pad128(s)
     for g in (16, 8, 4, 2, 1):
         if bh % g != 0:
             continue
         bq = t
-        while 9 * g * bq * s * 4 > budget and bq > 128:
+        while 9 * g * bq * sp * 4 > budget and bq > 128:
             bq //= 2
         while t % bq != 0:
             bq //= 2
-        if 9 * g * bq * s * 4 <= budget:
+        if 9 * g * bq * sp * 4 <= budget:
             return g, bq
     return 1, min(t, 128)
 
@@ -496,6 +504,10 @@ def multi_head_attention(
 ) -> jax.Array:
     """Attention core (no projections), (B,T,D) x (B,S,D) -> (B,T,D)."""
     use_dropout = dropout_rate > 0.0 and not deterministic
+    # Tiny head dims waste >75% of the MXU lanes in a hand-written kernel;
+    # let XLA handle those shapes.
+    if fused and q.shape[-1] // num_heads < 32:
+        fused = False
     if fused and not use_dropout:
         return _fused_attention(q, k, v, num_heads)
     if (fused and use_dropout and dropout_rng is not None
