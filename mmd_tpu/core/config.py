@@ -90,6 +90,9 @@ class TrainConfig:
     wandb_project: str = "misinformation-detection"
     wandb_entity: Optional[str] = None
     resume_from: Optional[str] = None  # real resume (the reference lacks one)
+    # >1 scans this many train steps inside ONE compiled call (stacked batch
+    # window) — amortizes per-dispatch host overhead
+    steps_per_call: int = 1
 
 
 def add_train_flags(p: argparse.ArgumentParser) -> None:

@@ -9,13 +9,16 @@ maps here to Pallas-kernel vs jnp path.
 
 TPU notes:
   * softmax statistics accumulate in float32 regardless of compute dtype;
-  * the Pallas kernel fuses QK^T -> softmax -> PV in VMEM, one HBM round
-    trip for the whole op. Sequence lengths in this workload are <= 512
-    query x <= 512 kv, so a q-blocked kernel with the full kv in VMEM is
-    both simple and bandwidth-optimal; the kv loop seam for longer
-    contexts lives in `_attn_kernel` (extend the fori_loop over kv blocks).
-  * attention-weight dropout (train-time, reference layers.py:53) runs in
-    the jnp path; the Pallas path is used when dropout is inactive.
+  * the Pallas forward fuses QK^T -> softmax -> PV in VMEM (one HBM round
+    trip) and also emits the row log-sum-exp; the Pallas backward recomputes
+    scores from (q, k, lse) per q-block with fp32 dk/dv accumulation over
+    revisited output blocks — nothing (T x S)-sized ever touches HBM;
+  * train-time attention-weight dropout (reference layers.py:53) runs
+    INSIDE the kernels via the on-chip PRNG on TPU (identical tiling +
+    per-block seeds make the fwd/bwd masks bit-exact); on other backends it
+    falls back to the jnp path;
+  * head dims < 32 waste most of the 128-wide MXU lanes in a custom kernel
+    and are routed to XLA instead.
 """
 
 from __future__ import annotations

@@ -86,16 +86,46 @@ def run_training(
     samples = 0
     t_window = time.time()
 
+    window = getattr(trainer, "train_window", None)
+    wsize = cfg.steps_per_call
+    pending: list[dict] = []
+
+    def flush_window():
+        nonlocal state, samples, global_step
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mmd_tpu.training.trainer import stack_batches
+        wshard = NamedSharding(trainer.mesh, P(None, "data"))
+        stacked = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, wshard), stack_batches(pending))
+        state, auxw = window(state, stacked)
+        global_step += len(pending)
+        samples += auxw["labels"].shape[0] * auxw["labels"].shape[1]
+        preds = np.asarray(auxw["preds"])
+        _accumulate(acc, {"preds": preds.reshape(-1, preds.shape[-1]),
+                          "labels": np.asarray(auxw["labels"]).reshape(
+                              -1, preds.shape[-1]),
+                          "loss": auxw["loss"][-1]})
+        pending.clear()
+        return auxw["loss"][-1]
+
     for epoch in range(cfg.epochs):
         for batch in train_batches(epoch):
             batch = {k: v for k, v in batch.items() if not k.startswith("_")}
-            batch = trainer.shard_batch(batch)
-            state, aux = trainer.train_step(state, batch)
-            global_step += 1
-            samples += aux["labels"].shape[0]
-            _accumulate(acc, aux)
+            if window is not None:
+                pending.append(batch)
+                if len(pending) < wsize:
+                    continue
+                loss = flush_window()
+                aux = {"loss": loss, "labels": np.zeros((0,))}
+            else:
+                batch = trainer.shard_batch(batch)
+                state, aux = trainer.train_step(state, batch)
+                global_step += 1
+                samples += aux["labels"].shape[0]
+                _accumulate(acc, aux)
 
-            if global_step % cfg.log_every == 0:
+            if global_step % cfg.log_every < (wsize if window else 1):
                 dt = time.time() - t_window
                 logs = _flush_metrics(acc, num_classes, "train")
                 logs["train/total_loss"] = float(np.asarray(aux["loss"]))
@@ -104,8 +134,18 @@ def run_training(
                 logger.log(logs, step=global_step)
                 samples, t_window = 0, time.time()
 
-            if cfg.save_every and global_step % cfg.save_every == 0:
+            if (cfg.save_every
+                    and global_step % cfg.save_every < (wsize if window else 1)):
                 ckpt.save(global_step, tuple(state))
+
+        # ragged tail of a window epoch runs as single steps
+        for batch in pending:
+            b = trainer.shard_batch(batch)
+            state, aux = trainer.train_step(state, b)
+            global_step += 1
+            samples += aux["labels"].shape[0]
+            _accumulate(acc, aux)
+        pending.clear()
 
         if cfg.validate_every_epoch and val_batches is not None:
             val_logs = evaluate(trainer, state, val_batches(), num_classes)
