@@ -164,7 +164,15 @@ def main():
         tok.save(tok_path)
 
     cfg = CAPTIONER_TEST if args.tiny else None
-    engine = CaptionEngine(tok, cfg=cfg, batch_size=args.batch_size)
+    # trained checkpoint (pipelines/train_captioner.py) when available
+    params = None
+    ckpt = Path(args.assets) / "captioner.ckpt"
+    if ckpt.exists():
+        from mmd_tpu.core.checkpoint import load_params
+        params = load_params(str(ckpt))
+        print(f"[caption] using trained captioner from {ckpt}")
+    engine = CaptionEngine(tok, cfg=cfg, params=params,
+                           batch_size=args.batch_size)
     for ds in args.datasets:
         process_csv(ds, engine, root)
 
