@@ -39,6 +39,8 @@ def main():
     k_small, k_large = (2, 8) if args.quick else (4, 24)
 
     import jax
+    # match the training entrypoints: hardware RBG keys for dropout masks
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
