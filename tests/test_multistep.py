@@ -45,6 +45,31 @@ def test_multi_step_matches_sequential(mesh8, rng):
     assert int(s1.step) == int(s2.step) == 3
 
 
+def test_run_training_validation_and_best_model(mesh8, rng, tmp_path):
+    """Per-epoch validation + best-model save (reference train.py:396-428)."""
+    from mmd_tpu.core.checkpoint import load_params
+    from mmd_tpu.training.loop import run_training
+    cfg = _cfg(epochs=3, log_every=2, save_every=0,
+               output_dir=str(tmp_path), validate_every_epoch=True,
+               save_best=True, best_metric="avg_f1")
+    tr = Trainer(cfg, mesh8)
+    train = [synthetic_preembed_batch(rng, 8, text_seq=8, image_seq=4,
+                                      text_dim=16, image_dim=24)
+             for _ in range(3)]
+    val = [synthetic_preembed_batch(rng, 8, text_seq=8, image_seq=4,
+                                    text_dim=16, image_dim=24)]
+    state = run_training(tr, lambda e: iter(train), lambda: iter(val))
+    best_dir = tmp_path / "best_model"
+    assert best_dir.exists()
+    params = load_params(str(best_dir))
+    import jax
+    assert len(jax.tree_util.tree_leaves(params)) == len(
+        jax.tree_util.tree_leaves(state.params))
+    # metrics.jsonl carries val rows
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert any('"val/avg_f1"' in l for l in lines)
+
+
 def test_run_training_with_window(mesh8, rng, tmp_path):
     from mmd_tpu.training.loop import run_training
     cfg = _cfg(steps_per_call=2, epochs=2, log_every=2, save_every=0,
