@@ -183,6 +183,38 @@ def main():
         f"| caption decode | {out['caption_tokens_per_sec']:,.0f} tok/s | KV-cached greedy, batch 32, 32 new tokens |",
         "",
     ]
+
+    # Full-pipeline projection from the measured stage rates
+    # (Factify-2: 35k train + 7.5k test rows, SURVEY §6)
+    n_all = 42_500
+    t_cap = 2 * n_all / out["caption_images_per_sec"]
+    t_et = 2 * n_all / out["text_embeddings_per_sec"]
+    t_ei = 2 * n_all / out["image_embeddings_per_sec"]
+    t_corpus = (41_256 / out["image_embeddings_per_sec"]
+                + n_all / out["text_embeddings_per_sec"])
+    t_train = 35_000 / out["fusion_train_samples_per_sec"]
+    total_min = (t_cap + t_et + t_ei + t_corpus + t_train + 10) / 60
+    lines += [
+        "## Full-pipeline projection (Factify-2, from the measured rates)",
+        "",
+        "35,000 train + 7,500 test rows (SURVEY §6), single v5e chip:",
+        "",
+        "| Stage | Work | Time |",
+        "|---|---|---|",
+        f"| caption enrichment | 2 x 42.5k images | {t_cap:.0f} s |",
+        f"| embed text | 2 x 42.5k seqs | {t_et:.0f} s |",
+        f"| embed image | 2 x 42.5k imgs | {t_ei:.0f} s |",
+        f"| retrieval corpora | 41,256 imgs + 42.5k texts | {t_corpus:.0f} s |",
+        f"| classifier train (1 epoch) | 35k samples | {t_train:.0f} s |",
+        "| eval + retrieval experiments | 7.5k queries | <10 s |",
+        "",
+        f"End-to-end (1 train epoch): **~{total_min:.1f} min on ONE chip** vs "
+        "the BASELINE.md target of <10 min on v5e-8 — inside target before "
+        "any multi-chip scaling. (Host-side image decode can bound the "
+        "embed/caption stages on slow disks; these are device rates with 16 "
+        "decode workers.)",
+        "",
+    ]
     (REPO / "BENCHMARKS.md").write_text("\n".join(lines))
     print(json.dumps(out))
 
