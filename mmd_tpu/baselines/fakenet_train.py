@@ -140,3 +140,70 @@ def ensemble_grid_search(prob_sets: Sequence[np.ndarray], y_true: np.ndarray,
             if f1 > best[1]:
                 best = ({"weights": ws, "power": p}, f1)
     return best
+
+
+def main():
+    """CLI: train/evaluate FakeNet over a pre-embedded ArrayStore with a
+    5-class `category` column (vendored Pre-CoFactv2 train.py/evaluate.py
+    equivalents)."""
+    import argparse
+    import json
+
+    from mmd_tpu.data import labels as lb
+    from mmd_tpu.data.store import ArrayStore
+    from mmd_tpu.baselines.fakenet import FakeNetConfig
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--store", required=True)
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--batch_size", type=int, default=24)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--text_dim", type=int, default=384)
+    p.add_argument("--image_dim", type=int, default=1024)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--head", type=int, default=2)
+    p.add_argument("--answer_csv", type=str, default="answer_fakenet.csv")
+    args = p.parse_args()
+
+    store = ArrayStore(args.store)
+    cfg = FakeNetConfig(text_dim=args.text_dim, image_dim=args.image_dim,
+                        hidden_dim=args.hidden_dim, head=args.head)
+
+    def add_columns(batch):
+        batch = dict(batch)
+        cat = lb.paths_to_category_idx(batch["labels"])
+        batch["category"] = np.where(cat >= 0, cat, 2).astype(np.int32)
+        n = len(batch["category"])
+        batch["add_feature"] = np.zeros((n, cfg.add_feature_dim), np.float32)
+        return batch
+
+    cols = ["claim_text_embeds", "doc_text_embeds", "claim_image_embeds",
+            "doc_image_embeds", "labels"]
+
+    def batches(epoch):
+        for b in store.batches(args.batch_size, shuffle=True, seed=epoch,
+                               columns=cols):
+            yield add_columns(b)
+
+    params, history = train_fakenet(cfg, batches, epochs=args.epochs,
+                                    lr=args.lr)
+    print(json.dumps(history[-1], indent=1))
+
+    def eval_batches():
+        for b in store.batches(args.batch_size, columns=cols):
+            yield add_columns(b)
+
+    y_pred, y_true, probs = predict_fakenet(params, cfg, eval_batches(),
+                                            return_probs=True)
+    import csv as csvmod
+    with open(args.answer_csv, "w", newline="") as f:
+        w = csvmod.writer(f)
+        w.writerow(["idx", "pred"] + [f"p{i}" for i in range(cfg.num_classes)])
+        for i, (pr, row) in enumerate(zip(y_pred, probs)):
+            w.writerow([i, int(pr)] + [f"{x:.5f}" for x in row])
+    f1 = M.f1_score(y_true, y_pred, cfg.num_classes, "weighted")
+    print(f"weighted F1 on store: {f1:.4f}; answers -> {args.answer_csv}")
+
+
+if __name__ == "__main__":
+    main()
