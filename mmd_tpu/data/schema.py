@@ -47,3 +47,29 @@ def preprocessed_dir() -> Path:
 
 def images_dir() -> Path:
     return raw_dir() / "extracted" / "images"
+
+
+def get_preprocessed_data(dataset: str = "train"):
+    """Load a preprocessed split (reference src/utils/data_utils.py:23-38)."""
+    import pandas as pd
+    csv_path = preprocessed_dir() / f"{dataset}.csv"
+    if not csv_path.exists():
+        raise FileNotFoundError(f"Preprocessed dataset CSV not found: {csv_path}")
+    return pd.read_csv(csv_path)
+
+
+def load_images_for_row(row: dict) -> dict:
+    """Attach decoded PIL images for a row's claim/evidence paths, None on
+    any failure (reference src/utils/data_utils.py:41-73)."""
+    from PIL import Image
+    result = dict(row)
+    for key in ("claim_image", "evidence_image"):
+        path = row.get(key)
+        img = None
+        if isinstance(path, str) and path and os.path.exists(path):
+            try:
+                img = Image.open(path).convert("RGB")
+            except Exception as e:
+                print(f"Failed to load {key} from {path}: {e}")
+        result[key] = img
+    return result
