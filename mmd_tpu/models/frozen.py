@@ -74,7 +74,13 @@ def load_or_init_frozen(
     else:
         text_cfg = dataclasses.replace(
             te.TEXT_ENCODER_XSMALL, vocab_size=tokenizer.vocab_size)
-        vit_cfg = V.ViTConfig()
+        # converted checkpoints carry their architecture in a sidecar
+        vit_cfg_path = assets / "vit_config.json"
+        if vit_cfg_path.exists():
+            import json
+            vit_cfg = V.ViTConfig(**json.loads(vit_cfg_path.read_text()))
+        else:
+            vit_cfg = V.ViTConfig()
 
     text_params = _load_ckpt(assets / "text_encoder.ckpt")
     if text_params is None:

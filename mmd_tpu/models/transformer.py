@@ -33,6 +33,7 @@ class TransformerConfig:
     dropout: float = 0.1
     layer_norm_eps: float = 1e-7
     is_decoder: bool = False         # causal self-attn + cross-attn
+    pre_ln: bool = False             # pre-LN blocks (ViT-style); post-LN = BERT
     encoder_hidden_size: int = 0     # cross-attn K/V input dim (0 = hidden_size)
     fused_attn: bool = True
     compute_dtype: str = "bfloat16"
@@ -110,8 +111,12 @@ def embed(params: dict, cfg: TransformerConfig, input_ids: jax.Array,
     t = input_ids.shape[1]
     pos = jnp.arange(t) + position_offset
     e = e + params["position"][pos][None, :, :]
-    if token_type_ids is not None and "token_type" in params:
-        e = e + params["token_type"][token_type_ids]
+    if "token_type" in params:
+        # segment 0 by default (HF semantics: token_type_ids default to 0)
+        if token_type_ids is None:
+            e = e + params["token_type"][0]
+        else:
+            e = e + params["token_type"][token_type_ids]
     e = L.layernorm(params["ln"], e, cfg.layer_norm_eps)
     return e.astype(jnp.dtype(cfg.compute_dtype))
 
@@ -142,8 +147,23 @@ def encoder_layer(p: dict, cfg: TransformerConfig, x: jax.Array,
                   encoder_states: Optional[jax.Array] = None,
                   cross_mask: Optional[jax.Array] = None,
                   cache: Optional[dict] = None):
-    """Post-LN block. Returns (x, new_cache)."""
+    """Transformer block, post-LN (BERT) or pre-LN (ViT). Returns
+    (x, new_cache)."""
     dtype = jnp.dtype(cfg.compute_dtype)
+    if cfg.pre_ln:
+        assert not cfg.is_decoder, "pre-LN decoder not implemented"
+        h = L.layernorm(p["ln1"], x, cfg.layer_norm_eps)
+        q = L.linear(p["q"], h, dtype)
+        k = L.linear(p["k"], h, dtype)
+        v = L.linear(p["v"], h, dtype)
+        ctx = _masked_attention(q, k, v, cfg.num_heads, attn_mask,
+                                cfg.fused_attn)
+        x = x + L.linear(p["attn_out"], ctx, dtype)
+        h = L.layernorm(p["ln2"], x, cfg.layer_norm_eps)
+        h = L.linear(p["ffn_in"], h, dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + L.linear(p["ffn_out"], h, dtype)
+        return x, None
     q = L.linear(p["q"], x, dtype)
     k = L.linear(p["k"], x, dtype)
     v = L.linear(p["v"], x, dtype)

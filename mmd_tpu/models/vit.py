@@ -32,6 +32,13 @@ class ViTConfig:
     layer_norm_eps: float = 1e-6
     fused_attn: bool = True
     compute_dtype: str = "bfloat16"
+    pre_ln: bool = True            # standard ViT block order
+    embed_ln: bool = True          # LN right after patch embed (scratch
+                                   # training aid; HF ViT has none — the
+                                   # conversion turns it off)
+    use_cls: bool = False          # carry a CLS token through the blocks
+                                   # (HF ViT; dropped from the output so the
+                                   # (num_tokens, hidden) contract holds)
 
     @property
     def num_tokens(self) -> int:
@@ -42,7 +49,7 @@ class ViTConfig:
             hidden_size=self.hidden_size, num_heads=self.num_heads,
             intermediate_size=self.intermediate_size, dropout=self.dropout,
             layer_norm_eps=self.layer_norm_eps, fused_attn=self.fused_attn,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, pre_ln=self.pre_ln,
         )
 
 
@@ -56,14 +63,18 @@ def init_vit(key: jax.Array, cfg: ViTConfig) -> dict:
     block = cfg.block_cfg()
     keys = jax.random.split(kl, cfg.num_layers)
     patch_dim = 3 * cfg.patch_size * cfg.patch_size
-    return {
+    n_pos = cfg.num_tokens + (1 if cfg.use_cls else 0)
+    p = {
         "patch_embed": L.linear_init(kp, patch_dim, cfg.hidden_size),
         "pos_embed": jax.random.normal(
-            ke, (cfg.num_tokens, cfg.hidden_size)) * 0.02,
+            ke, (n_pos, cfg.hidden_size)) * 0.02,
         "ln_pre": L.layernorm_init(cfg.hidden_size),
         "ln_post": L.layernorm_init(cfg.hidden_size),
         "layers": [init_layer(k, block) for k in keys],
     }
+    if cfg.use_cls:
+        p["cls_token"] = jnp.zeros((cfg.hidden_size,), jnp.float32)
+    return p
 
 
 def patchify(images: jax.Array, patch: int) -> jax.Array:
@@ -81,8 +92,65 @@ def vit_forward(params: dict, cfg: ViTConfig, images: jax.Array) -> jax.Array:
     block = cfg.block_cfg()
     x = patchify(images.astype(dtype), cfg.patch_size)
     x = L.linear(params["patch_embed"], x, dtype)
+    if cfg.use_cls:
+        cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
+                               (x.shape[0], 1, cfg.hidden_size))
+        x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(dtype)[None]
-    x = L.layernorm(params["ln_pre"], x, cfg.layer_norm_eps)
+    if cfg.embed_ln:
+        x = L.layernorm(params["ln_pre"], x, cfg.layer_norm_eps)
     for p in params["layers"]:
         x, _ = encoder_layer(p, block, x)
-    return L.layernorm(params["ln_post"], x, cfg.layer_norm_eps)
+    x = L.layernorm(params["ln_post"], x, cfg.layer_norm_eps)
+    return x[:, 1:] if cfg.use_cls else x
+
+
+def load_hf_vit_state_dict(state_dict: dict, cfg: ViTConfig) -> dict:
+    """Map a HF ViTModel torch state_dict (numpy values) onto our tree. Use
+    a ViTConfig with use_cls=True, embed_ln=False, pre_ln=True and matching
+    image/patch/hidden sizes (the CLS token rides through attention exactly
+    as in HF but is dropped from the output grid). The patch-projection
+    Conv2d folds into the patchify linear."""
+    import numpy as np
+
+    def get(name):
+        return np.asarray(state_dict[name])
+
+    def lin(prefix):
+        return {"w": get(f"{prefix}.weight").T.astype(np.float32),
+                "b": get(f"{prefix}.bias").astype(np.float32)}
+
+    def ln(prefix):
+        return {"scale": get(f"{prefix}.weight").astype(np.float32),
+                "bias": get(f"{prefix}.bias").astype(np.float32)}
+
+    assert not cfg.embed_ln, "HF ViT has no post-embedding LayerNorm"
+    assert cfg.use_cls, "HF ViT parity requires use_cls=True"
+    conv = get("embeddings.patch_embeddings.projection.weight")  # (h,3,p,p)
+    h = conv.shape[0]
+    # our patchify flattens (c, py, px); conv is (h, c, py, px)
+    patch_w = conv.reshape(h, -1).T.astype(np.float32)
+    patch_b = get("embeddings.patch_embeddings.projection.bias").astype(np.float32)
+    pos = get("embeddings.position_embeddings")[0].astype(np.float32)
+    p = {
+        "patch_embed": {"w": patch_w, "b": patch_b},
+        "pos_embed": pos,
+        "cls_token": get("embeddings.cls_token")[0, 0].astype(np.float32),
+        "ln_pre": {"scale": np.ones(h, np.float32),
+                   "bias": np.zeros(h, np.float32)},   # unused (embed_ln=False)
+        "ln_post": ln("layernorm"),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        pre = f"encoder.layer.{i}"
+        p["layers"].append({
+            "q": lin(f"{pre}.attention.attention.query"),
+            "k": lin(f"{pre}.attention.attention.key"),
+            "v": lin(f"{pre}.attention.attention.value"),
+            "attn_out": lin(f"{pre}.attention.output.dense"),
+            "ln1": ln(f"{pre}.layernorm_before"),
+            "ffn_in": lin(f"{pre}.intermediate.dense"),
+            "ffn_out": lin(f"{pre}.output.dense"),
+            "ln2": ln(f"{pre}.layernorm_after"),
+        })
+    return p

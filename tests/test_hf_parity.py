@@ -1,0 +1,80 @@
+"""Numeric parity of the HF weight-conversion paths, fully offline:
+randomly-initialized HF torch models -> state-dict conversion -> our JAX
+implementation must reproduce their outputs."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+
+@pytest.fixture(scope="module")
+def torch():
+    return pytest.importorskip("torch")
+
+
+def test_bert_conversion_output_parity(torch, rng):
+    from transformers import BertConfig, BertModel
+
+    from mmd_tpu.models import text_encoder as te
+    from mmd_tpu.models.transformer import TransformerConfig
+
+    hf_cfg = BertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=48, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, layer_norm_eps=1e-12)
+    hf = BertModel(hf_cfg, add_pooling_layer=False)
+    hf.eval()
+
+    cfg = TransformerConfig(
+        vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=48, layer_norm_eps=1e-12,
+        compute_dtype="float32", fused_attn=False)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = te.load_hf_state_dict(sd, cfg)
+
+    ids = rng.integers(0, 120, (2, 16)).astype(np.int64)
+    mask = np.ones((2, 16), np.int64)
+    mask[1, 10:] = 0
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)
+                  ).last_hidden_state.numpy()
+    got = np.asarray(te.encode(params, cfg, jnp.asarray(ids, jnp.int32),
+                               jnp.asarray(mask, jnp.int32)))
+    # padded positions differ (HF still computes them); compare real tokens
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got[1, :10], want[1, :10], rtol=2e-4, atol=2e-5)
+
+
+def test_vit_conversion_output_parity(torch, rng):
+    import dataclasses
+
+    from transformers import ViTConfig as HFViTConfig, ViTModel
+
+    from mmd_tpu.models import vit as V
+
+    hf_cfg = HFViTConfig(
+        image_size=32, patch_size=8, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, layer_norm_eps=1e-12,
+        hidden_act="gelu")
+    hf = ViTModel(hf_cfg, add_pooling_layer=False)
+    hf.eval()
+
+    cfg = V.ViTConfig(image_size=32, patch_size=8, hidden_size=32,
+                      num_layers=2, num_heads=4, intermediate_size=64,
+                      layer_norm_eps=1e-12, compute_dtype="float32",
+                      pre_ln=True, embed_ln=False, use_cls=True,
+                      fused_attn=False)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = V.load_hf_vit_state_dict(sd, cfg)
+
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(pixel_values=torch.tensor(
+            imgs.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    got = np.asarray(V.vit_forward(params, cfg, jnp.asarray(imgs)))
+    # HF output row 0 is the CLS token; ours is the 16-patch grid
+    np.testing.assert_allclose(got, want[:, 1:], rtol=3e-4, atol=3e-5)

@@ -82,6 +82,32 @@ def convert_text(model_id: str, out: Path):
         print(f"tokenizer export skipped: {e}")
 
 
+def convert_vit(model_id: str, out: Path):
+    import dataclasses
+    import json
+
+    from transformers import ViTModel
+
+    from mmd_tpu.core.checkpoint import save_params
+    from mmd_tpu.models import vit as V
+
+    model = ViTModel.from_pretrained(model_id, add_pooling_layer=False)
+    hf_cfg = model.config
+    cfg = V.ViTConfig(
+        image_size=hf_cfg.image_size, patch_size=hf_cfg.patch_size,
+        hidden_size=hf_cfg.hidden_size, num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        layer_norm_eps=hf_cfg.layer_norm_eps,
+        pre_ln=True, embed_ln=False, use_cls=True)
+    params = V.load_hf_vit_state_dict(_to_numpy_state_dict(model), cfg)
+    save_params(str(out / "vit.ckpt"), params)
+    (out / "vit_config.json").write_text(json.dumps(
+        {k: v for k, v in dataclasses.asdict(cfg).items()}, indent=1))
+    print(f"vit converted: {model_id} -> {out}/vit.ckpt "
+          f"({cfg.num_layers}L, {cfg.hidden_size}d, {cfg.num_tokens} tokens)")
+
+
 def convert_resnet(out: Path):
     import torchvision
 
@@ -97,6 +123,8 @@ def convert_resnet(out: Path):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--text", type=str, default=None)
+    p.add_argument("--vit", type=str, default=None,
+                   help="e.g. google/vit-large-patch32-384 (see module notes)")
     p.add_argument("--resnet", action="store_true")
     p.add_argument("--out", type=str, default="assets/encoders")
     args = p.parse_args()
@@ -104,6 +132,8 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
     if args.text:
         convert_text(args.text, out)
+    if args.vit:
+        convert_vit(args.vit, out)
     if args.resnet:
         convert_resnet(out)
 
