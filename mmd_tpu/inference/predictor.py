@@ -60,7 +60,8 @@ class MisinformationPredictor:
         # constants and bloat the compile payload)
         @jax.jit
         def _text(p, ids, mask):
-            return te.encode(p, self.enc.text_cfg, ids, mask)
+            from mmd_tpu.models.frozen import text_encode
+            return text_encode(p, self.enc.text_cfg, ids, mask)
 
         @jax.jit
         def _image(p, u8):

@@ -1,0 +1,229 @@
+"""DeBERTa-v2/v3 encoder with disentangled attention, weight-exact with HF.
+
+The reference's actual claim/document encoder is microsoft/deberta-v3-xsmall
+(reference train.py:47, preprocess_embeddings.py:24-25). The generic
+BERT-class stack (models/transformer.py) matches its dims; THIS module
+matches its math exactly — relative-position log buckets, shared-key
+content<->position attention terms (c2p + p2c), scale sqrt(3*d_head) — so a
+converted deberta-v3 checkpoint reproduces the reference's embeddings.
+
+TPU notes: sequence lengths are static under jit, so the log-bucket relative
+position indices are computed in NumPy at trace time and baked as constants;
+the c2p/p2c "gathers" become take_along_axis with static index arrays that
+XLA lowers to efficient dynamic-slices. deberta-v3 has no absolute position
+embeddings (position_biased_input=false) and type_vocab_size=0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmd_tpu.models import layers as L
+
+
+@dataclasses.dataclass
+class DebertaConfig:
+    vocab_size: int = 128100
+    hidden_size: int = 384           # deberta-v3-xsmall
+    num_layers: int = 12
+    num_heads: int = 6
+    intermediate_size: int = 1536
+    max_position: int = 512          # max_relative_positions fallback
+    position_buckets: int = 256
+    layer_norm_eps: float = 1e-7
+    share_att_key: bool = True       # v3: pos terms reuse query/key projs
+    compute_dtype: str = "float32"
+
+    @property
+    def pos_ebd_size(self) -> int:
+        return (self.position_buckets if self.position_buckets > 0
+                else self.max_position)
+
+
+DEBERTA_V3_XSMALL = DebertaConfig()
+DEBERTA_TEST = DebertaConfig(vocab_size=120, hidden_size=32, num_layers=2,
+                             num_heads=4, intermediate_size=64,
+                             max_position=32, position_buckets=8)
+
+
+# -- static relative-position tables ------------------------------------------
+
+def make_log_bucket_position(rel_pos: np.ndarray, bucket_size: int,
+                             max_position: int) -> np.ndarray:
+    """NumPy port of the log-bucket mapping (HF modeling_deberta_v2.py:58-69
+    semantics): positions within +-bucket/2 stay linear, beyond that they
+    compress logarithmically into the remaining buckets."""
+    sign = np.sign(rel_pos)
+    mid = bucket_size // 2
+    abs_pos = np.where((rel_pos < mid) & (rel_pos > -mid),
+                       mid - 1, np.abs(rel_pos)).astype(np.float64)
+    log_pos = (np.ceil(np.log(abs_pos / mid)
+                       / math.log((max_position - 1) / mid) * (mid - 1))
+               + mid)
+    return np.where(np.abs(rel_pos) <= mid, rel_pos, (log_pos * sign)
+                    ).astype(np.int64)
+
+
+def build_relative_position(q_len: int, k_len: int, bucket_size: int,
+                            max_position: int) -> np.ndarray:
+    rel = np.arange(q_len)[:, None] - np.arange(k_len)[None, :]
+    if bucket_size > 0 and max_position > 0:
+        rel = make_log_bucket_position(rel, bucket_size, max_position)
+    return rel.astype(np.int64)
+
+
+# -- init ----------------------------------------------------------------------
+
+def init_deberta(key: jax.Array, cfg: DebertaConfig) -> dict:
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    std = 0.02
+    p = {
+        "embeddings": {
+            "word": jax.random.normal(
+                keys[0], (cfg.vocab_size, cfg.hidden_size)) * std,
+            "ln": L.layernorm_init(cfg.hidden_size),
+        },
+        "rel_embeddings": jax.random.normal(
+            keys[1], (cfg.pos_ebd_size * 2, cfg.hidden_size)) * std,
+        "rel_ln": L.layernorm_init(cfg.hidden_size),
+        "layers": [],
+    }
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    for k in keys[2:]:
+        ks = jax.random.split(k, 6)
+        p["layers"].append({
+            "q": L.linear_init(ks[0], d, d),
+            "k": L.linear_init(ks[1], d, d),
+            "v": L.linear_init(ks[2], d, d),
+            "attn_out": L.linear_init(ks[3], d, d),
+            "ln1": L.layernorm_init(d),
+            "ffn_in": L.linear_init(ks[4], d, f),
+            "ffn_out": L.linear_init(ks[5], f, d),
+            "ln2": L.layernorm_init(d),
+        })
+    return p
+
+
+# -- forward --------------------------------------------------------------------
+
+def _heads(x, h):
+    b, t, d = x.shape
+    return x.reshape(b, t, h, d // h).transpose(0, 2, 1, 3)
+
+
+def _disentangled_attention(p, cfg: DebertaConfig, x, rel_emb, c2p_idx,
+                            p2c_idx, key_mask, dtype):
+    """One layer's attention with content<->position terms. c2p_idx/p2c_idx
+    are static (T, S)/(S, S) bucket index arrays."""
+    h = cfg.num_heads
+    dh = cfg.hidden_size // h
+    scale = math.sqrt(dh * 3.0)   # scale_factor = 1 + len({c2p, p2c})
+
+    q = _heads(L.linear(p["q"], x, dtype), h)          # (B, h, T, dh)
+    k = _heads(L.linear(p["k"], x, dtype), h)
+    v = _heads(L.linear(p["v"], x, dtype), h)
+
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                        preferred_element_type=jnp.float32) / scale
+
+    # position projections (share_att_key: reuse the content q/k projections)
+    pos_k = _heads(L.linear(p["k"], rel_emb[None], dtype), h)[0]  # (h, 2span, dh)
+    pos_q = _heads(L.linear(p["q"], rel_emb[None], dtype), h)[0]
+
+    # content->position: q against pos keys, gathered at the bucket index
+    c2p = jnp.einsum("bhtd,hpd->bhtp", q, pos_k,
+                     preferred_element_type=jnp.float32)
+    c2p = jnp.take_along_axis(
+        c2p, jnp.asarray(c2p_idx)[None, None], axis=-1)           # (B,h,T,S)
+    scores = scores + c2p / scale
+
+    # position->content: k against pos queries, gathered then transposed
+    p2c = jnp.einsum("bhsd,hpd->bhsp", k, pos_q,
+                     preferred_element_type=jnp.float32)
+    p2c = jnp.take_along_axis(
+        p2c, jnp.asarray(p2c_idx)[None, None], axis=-1)           # (B,h,S,S)
+    scores = scores + jnp.swapaxes(p2c, -1, -2) / scale
+
+    if key_mask is not None:
+        neg = jnp.finfo(jnp.float32).min
+        scores = jnp.where(key_mask[:, None, None, :].astype(bool),
+                           scores, neg)
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+    ctx = jnp.einsum("bhts,bhsd->bhtd", w, v,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    b, _, t, _ = ctx.shape
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, cfg.hidden_size)
+    return L.linear(p["attn_out"], ctx, dtype)
+
+
+def deberta_encode(params: dict, cfg: DebertaConfig, input_ids: jax.Array,
+                   attention_mask: Optional[jax.Array] = None) -> jax.Array:
+    """(B, T) int32 -> last_hidden_state (B, T, D)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    t = input_ids.shape[1]
+    span = cfg.pos_ebd_size
+
+    rel = build_relative_position(t, t, cfg.position_buckets,
+                                  cfg.max_position)
+    c2p_idx = np.clip(rel + span, 0, span * 2 - 1)
+    p2c_idx = np.clip(-rel + span, 0, span * 2 - 1)   # q_len == k_len here
+
+    x = params["embeddings"]["word"][input_ids]
+    x = L.layernorm(params["embeddings"]["ln"], x, cfg.layer_norm_eps)
+    if attention_mask is not None:
+        x = x * attention_mask[..., None].astype(x.dtype)
+    x = x.astype(dtype)
+
+    rel_emb = L.layernorm(params["rel_ln"],
+                          params["rel_embeddings"][: span * 2],
+                          cfg.layer_norm_eps).astype(dtype)
+
+    for p in params["layers"]:
+        a = _disentangled_attention(p, cfg, x, rel_emb, c2p_idx, p2c_idx,
+                                    attention_mask, dtype)
+        x = L.layernorm(p["ln1"], x + a, cfg.layer_norm_eps)
+        hdn = jax.nn.gelu(L.linear(p["ffn_in"], x, dtype), approximate=False)
+        x = L.layernorm(p["ln2"], x + L.linear(p["ffn_out"], hdn, dtype),
+                        cfg.layer_norm_eps)
+    return x
+
+
+# -- HF conversion ---------------------------------------------------------------
+
+def load_hf_deberta_state_dict(state_dict: dict, cfg: DebertaConfig) -> dict:
+    """Map a HF DebertaV2Model state_dict (numpy values) onto our tree."""
+    def get(name):
+        return np.asarray(state_dict[name]).astype(np.float32)
+
+    def lin(prefix):
+        return {"w": get(f"{prefix}.weight").T, "b": get(f"{prefix}.bias")}
+
+    def ln(prefix):
+        return {"scale": get(f"{prefix}.weight"), "bias": get(f"{prefix}.bias")}
+
+    p = {
+        "embeddings": {"word": get("embeddings.word_embeddings.weight"),
+                       "ln": ln("embeddings.LayerNorm")},
+        "rel_embeddings": get("encoder.rel_embeddings.weight"),
+        "rel_ln": ln("encoder.LayerNorm"),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        pre = f"encoder.layer.{i}"
+        p["layers"].append({
+            "q": lin(f"{pre}.attention.self.query_proj"),
+            "k": lin(f"{pre}.attention.self.key_proj"),
+            "v": lin(f"{pre}.attention.self.value_proj"),
+            "attn_out": lin(f"{pre}.attention.output.dense"),
+            "ln1": ln(f"{pre}.attention.output.LayerNorm"),
+            "ffn_in": lin(f"{pre}.intermediate.dense"),
+            "ffn_out": lin(f"{pre}.output.dense"),
+            "ln2": ln(f"{pre}.output.LayerNorm"),
+        })
+    return p

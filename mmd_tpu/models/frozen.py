@@ -34,10 +34,19 @@ DEFAULT_ASSETS = "assets/encoders"
 @dataclasses.dataclass
 class FrozenEncoders:
     tokenizer: WordPieceTokenizer
-    text_cfg: TransformerConfig
+    text_cfg: object          # TransformerConfig (BERT-class) or DebertaConfig
     text_params: dict
     vit_cfg: V.ViTConfig
     vit_params: dict
+
+
+def text_encode(params: dict, cfg, input_ids, attention_mask=None):
+    """Dispatch on the text-encoder family: BERT-class generic stack or
+    DeBERTa-v2/v3 disentangled attention (converted checkpoints)."""
+    from mmd_tpu.models.deberta import DebertaConfig, deberta_encode
+    if isinstance(cfg, DebertaConfig):
+        return deberta_encode(params, cfg, input_ids, attention_mask)
+    return te.encode(params, cfg, input_ids, attention_mask)
 
 
 def _load_ckpt(path: Path):
@@ -82,9 +91,18 @@ def load_or_init_frozen(
         else:
             vit_cfg = V.ViTConfig()
 
-    text_params = _load_ckpt(assets / "text_encoder.ckpt")
-    if text_params is None:
-        text_params = te.init_text_encoder(jax.random.key(seed), text_cfg)
+    # converted DeBERTa checkpoint takes priority (the reference's encoder)
+    deberta_params = None if tiny else _load_ckpt(assets / "deberta.ckpt")
+    if deberta_params is not None:
+        import json as _json
+        from mmd_tpu.models.deberta import DebertaConfig
+        text_cfg = DebertaConfig(
+            **_json.loads((assets / "deberta_config.json").read_text()))
+        text_params = deberta_params
+    else:
+        text_params = _load_ckpt(assets / "text_encoder.ckpt")
+        if text_params is None:
+            text_params = te.init_text_encoder(jax.random.key(seed), text_cfg)
     vit_params = _load_ckpt(assets / "vit.ckpt")
     if vit_params is None:
         vit_params = V.init_vit(jax.random.key(seed + 1), vit_cfg)

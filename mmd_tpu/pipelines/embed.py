@@ -63,7 +63,8 @@ def embed_csv(
     # and bloat the compile payload)
     @jax.jit
     def _encode_text(params, ids, mask):
-        return te.encode(params, enc.text_cfg, ids, mask)
+        from mmd_tpu.models.frozen import text_encode
+        return text_encode(params, enc.text_cfg, ids, mask)
 
     @jax.jit
     def _encode_image(params, u8):

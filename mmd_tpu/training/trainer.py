@@ -136,7 +136,9 @@ def make_encoding_train_step(cfg: TrainConfig, mesh: Mesh, enc,
     dtype = jnp.dtype(mcfg.compute_dtype)
 
     def encode(frozen, batch):
-        text = lambda ids, mask: te.encode(frozen["text"], enc.text_cfg, ids, mask)
+        from mmd_tpu.models.frozen import text_encode
+        text = lambda ids, mask: text_encode(frozen["text"], enc.text_cfg,
+                                             ids, mask)
         image = lambda u8: V.vit_forward(
             frozen["vit"], enc.vit_cfg,
             normalize_on_device(u8, TRAIN_TRANSFORM, dtype))

@@ -48,6 +48,58 @@ def test_bert_conversion_output_parity(torch, rng):
     np.testing.assert_allclose(got[1, :10], want[1, :10], rtol=2e-4, atol=2e-5)
 
 
+def test_deberta_conversion_output_parity(torch, rng):
+    """Disentangled attention (c2p + p2c, log buckets, shared att key) must
+    reproduce HF DebertaV2Model outputs on random weights — the reference's
+    actual text encoder family (deberta-v3-xsmall flags)."""
+    from transformers import DebertaV2Config, DebertaV2Model
+
+    from mmd_tpu.models import deberta as D
+
+    hf_cfg = DebertaV2Config(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=32, relative_attention=True,
+        position_buckets=8, norm_rel_ebd="layer_norm", share_att_key=True,
+        pos_att_type=["p2c", "c2p"], position_biased_input=False,
+        type_vocab_size=0, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, layer_norm_eps=1e-7,
+        hidden_act="gelu")
+    hf = DebertaV2Model(hf_cfg)
+    hf.eval()
+
+    cfg = D.DebertaConfig(vocab_size=120, hidden_size=32, num_layers=2,
+                          num_heads=4, intermediate_size=64, max_position=32,
+                          position_buckets=8, layer_norm_eps=1e-7)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = D.load_hf_deberta_state_dict(sd, cfg)
+
+    ids = rng.integers(1, 120, (2, 16)).astype(np.int64)
+    mask = np.ones((2, 16), np.int64)
+    mask[1, 11:] = 0
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)
+                  ).last_hidden_state.numpy()
+    got = np.asarray(D.deberta_encode(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)))
+    np.testing.assert_allclose(got[0], want[0], rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(got[1, :11], want[1, :11], rtol=3e-4, atol=3e-5)
+
+
+def test_log_bucket_positions_match_hf(torch):
+    import transformers.models.deberta_v2.modeling_deberta_v2 as hf_mod
+
+    from mmd_tpu.models.deberta import build_relative_position
+    for (q, bucket, maxp) in [(16, 8, 32), (64, 16, 128), (512, 256, 512)]:
+        dummy = torch.zeros(1, q, 4)
+        want = hf_mod.build_relative_position(
+            dummy, dummy, bucket_size=bucket, max_position=maxp
+        )[0].numpy()
+        got = build_relative_position(q, q, bucket, maxp)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_vit_conversion_output_parity(torch, rng):
     import dataclasses
 

@@ -45,6 +45,8 @@ def convert_text(model_id: str, out: Path):
     from mmd_tpu.models.transformer import TransformerConfig
 
     hf_cfg = AutoConfig.from_pretrained(model_id)
+    if hf_cfg.model_type == "deberta-v2":
+        return convert_deberta(model_id, out)
     cfg = TransformerConfig(
         vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
         num_layers=hf_cfg.num_hidden_layers,
@@ -80,6 +82,41 @@ def convert_text(model_id: str, out: Path):
                   "train one from the corpus instead")
     except Exception as e:
         print(f"tokenizer export skipped: {e}")
+
+
+def convert_deberta(model_id: str, out: Path):
+    """DeBERTa-v2/v3: exact conversion into the disentangled-attention
+    encoder (models/deberta.py), output-parity-tested offline."""
+    import dataclasses
+    import json
+
+    from transformers import AutoConfig, AutoModel
+
+    from mmd_tpu.core.checkpoint import save_params
+    from mmd_tpu.models import deberta as D
+
+    hf_cfg = AutoConfig.from_pretrained(model_id)
+    max_rel = getattr(hf_cfg, "max_relative_positions", -1)
+    if max_rel < 1:
+        max_rel = hf_cfg.max_position_embeddings
+    cfg = D.DebertaConfig(
+        vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        max_position=max_rel,
+        position_buckets=getattr(hf_cfg, "position_buckets", -1),
+        layer_norm_eps=hf_cfg.layer_norm_eps,
+        share_att_key=getattr(hf_cfg, "share_att_key", False))
+    assert cfg.share_att_key, "only share_att_key=True DeBERTa supported (v3)"
+    model = AutoModel.from_pretrained(model_id)
+    params = D.load_hf_deberta_state_dict(_to_numpy_state_dict(model), cfg)
+    save_params(str(out / "deberta.ckpt"), params)
+    (out / "deberta_config.json").write_text(
+        json.dumps(dataclasses.asdict(cfg), indent=1))
+    print(f"deberta converted: {model_id} -> {out}/deberta.ckpt "
+          f"({cfg.num_layers}L, {cfg.hidden_size}d, "
+          f"buckets {cfg.position_buckets})")
 
 
 def convert_vit(model_id: str, out: Path):
