@@ -117,12 +117,40 @@ def _heads(x, h):
     return x.reshape(b, t, h, d // h).transpose(0, 2, 1, 3)
 
 
-def _disentangled_attention(p, cfg: DebertaConfig, x, rel_emb, c2p_idx,
-                            p2c_idx, key_mask, dtype):
-    """One layer's attention with content<->position terms. c2p_idx/p2c_idx
-    are static (T, S)/(S, S) bucket index arrays."""
+def _diag_maps(t: int, cfg: DebertaConfig):
+    """The bucketed index matrices are Toeplitz (functions of t - s alone),
+    so the per-element gather collapses to a static permutation over the
+    position axis + a relative-shift reshape. Returns (c2p_map, p2c_map),
+    each (2T-1,) int: attention-column for diagonal position q, laid out so
+    that out[t, s] = att[t, map[T-1-t+s]]."""
+    span = cfg.pos_ebd_size
+    q_idx = np.arange(2 * t - 1)
+    d = t - 1 - q_idx                                  # diagonal value t - s
+    bucket = make_log_bucket_position(d, cfg.position_buckets,
+                                      cfg.max_position)
+    c2p_map = np.clip(bucket + span, 0, span * 2 - 1)
+    p2c_map = np.clip(-bucket + span, 0, span * 2 - 1)
+    return c2p_map.astype(np.int32), p2c_map.astype(np.int32)
+
+
+def _rel_shift(expf: jax.Array, t: int, s: int) -> jax.Array:
+    """expf (..., T, 2T-1) with out[t, s] = expf[t, T-1-t+s] -> (..., T, S)
+    via pad-flatten-slice-reshape (no gather)."""
+    lead = expf.shape[:-2]
+    padded = jnp.pad(expf, [(0, 0)] * len(lead) + [(0, 0), (0, 1)])  # width 2T
+    flat = padded.reshape(*lead, t * 2 * t)
+    y = flat[..., t - 1: t - 1 + t * (2 * t - 1)]
+    return y.reshape(*lead, t, 2 * t - 1)[..., :s]
+
+
+def _disentangled_attention(p, cfg: DebertaConfig, x, rel_emb, c2p_map,
+                            p2c_map, key_mask, dtype):
+    """One layer's attention with content<->position terms. c2p_map/p2c_map
+    are static (2T-1,) diagonal->position-column permutations (no gathers in
+    the hot path: static take + relative-shift reshape)."""
     h = cfg.num_heads
     dh = cfg.hidden_size // h
+    t = x.shape[1]
     scale = math.sqrt(dh * 3.0)   # scale_factor = 1 + len({c2p, p2c})
 
     q = _heads(L.linear(p["q"], x, dtype), h)          # (B, h, T, dh)
@@ -133,22 +161,34 @@ def _disentangled_attention(p, cfg: DebertaConfig, x, rel_emb, c2p_idx,
                         preferred_element_type=jnp.float32) / scale
 
     # position projections (share_att_key: reuse the content q/k projections)
+    # pre-permuted by the static diagonal maps, so the (B,h,T,S) selection
+    # below is a pure reshape
     pos_k = _heads(L.linear(p["k"], rel_emb[None], dtype), h)[0]  # (h, 2span, dh)
     pos_q = _heads(L.linear(p["q"], rel_emb[None], dtype), h)[0]
+    pos_k_d = jnp.take(pos_k, jnp.asarray(c2p_map), axis=1)       # (h, 2T-1, dh)
+    pos_q_d = jnp.take(pos_q, jnp.asarray(p2c_map), axis=1)
 
-    # content->position: q against pos keys, gathered at the bucket index
-    c2p = jnp.einsum("bhtd,hpd->bhtp", q, pos_k,
+    # Selection as a dense one-hot matmul: gathers over (B,h,T,S) indices
+    # crawl on the VPU and the rel-shift reshape forces unaligned relayouts;
+    # a (2T-1 -> S) one-hot contraction rides the MXU instead. The one-hot
+    # is regenerated on device from the tiny static diagonal map (never a
+    # baked constant).
+    # c2p: out[t', s] = c2p[t', T-1-t'+s]
+    c2p = jnp.einsum("bhtd,hjd->bhtj", q, pos_k_d,
+                     preferred_element_type=jnp.float32)          # (B,h,T,2T-1)
+    p2c = jnp.einsum("bhsd,hjd->bhsj", k, pos_q_d,
                      preferred_element_type=jnp.float32)
-    c2p = jnp.take_along_axis(
-        c2p, jnp.asarray(c2p_idx)[None, None], axis=-1)           # (B,h,T,S)
-    scores = scores + c2p / scale
-
-    # position->content: k against pos queries, gathered then transposed
-    p2c = jnp.einsum("bhsd,hpd->bhsp", k, pos_q,
-                     preferred_element_type=jnp.float32)
-    p2c = jnp.take_along_axis(
-        p2c, jnp.asarray(p2c_idx)[None, None], axis=-1)           # (B,h,S,S)
-    scores = scores + jnp.swapaxes(p2c, -1, -2) / scale
+    # one-hot (T, 2T-1, S): onehot[t', j, s] = (j == T-1-t'+s)
+    tprime = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * t - 1, t), 0)
+    jq = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * t - 1, t), 1)
+    ss = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * t - 1, t), 2)
+    onehot = (jq == (t - 1) - tprime + ss).astype(dtype)
+    c2p_sel = jnp.einsum("bhtj,tjs->bhts", c2p.astype(dtype), onehot,
+                         preferred_element_type=jnp.float32)
+    p2c_sel = jnp.einsum("bhtj,tjs->bhts", p2c.astype(dtype), onehot,
+                         preferred_element_type=jnp.float32)
+    scores = scores + c2p_sel / scale
+    scores = scores + jnp.swapaxes(p2c_sel, -1, -2) / scale
 
     if key_mask is not None:
         neg = jnp.finfo(jnp.float32).min
@@ -168,11 +208,7 @@ def deberta_encode(params: dict, cfg: DebertaConfig, input_ids: jax.Array,
     dtype = jnp.dtype(cfg.compute_dtype)
     t = input_ids.shape[1]
     span = cfg.pos_ebd_size
-
-    rel = build_relative_position(t, t, cfg.position_buckets,
-                                  cfg.max_position)
-    c2p_idx = np.clip(rel + span, 0, span * 2 - 1)
-    p2c_idx = np.clip(-rel + span, 0, span * 2 - 1)   # q_len == k_len here
+    c2p_map, p2c_map = _diag_maps(t, cfg)
 
     x = params["embeddings"]["word"][input_ids]
     x = L.layernorm(params["embeddings"]["ln"], x, cfg.layer_norm_eps)
@@ -185,7 +221,7 @@ def deberta_encode(params: dict, cfg: DebertaConfig, input_ids: jax.Array,
                           cfg.layer_norm_eps).astype(dtype)
 
     for p in params["layers"]:
-        a = _disentangled_attention(p, cfg, x, rel_emb, c2p_idx, p2c_idx,
+        a = _disentangled_attention(p, cfg, x, rel_emb, c2p_map, p2c_map,
                                     attention_mask, dtype)
         x = L.layernorm(p["ln1"], x + a, cfg.layer_norm_eps)
         hdn = jax.nn.gelu(L.linear(p["ffn_in"], x, dtype), approximate=False)
