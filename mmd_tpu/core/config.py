@@ -77,7 +77,7 @@ class TrainConfig:
     epochs: int = 50
     batch_size: int = 32          # global batch, sharded over the data axis
     lr: float = 1e-4
-    weight_decay: float = 0.0
+    weight_decay: float = 0.01  # torch AdamW default (reference train.py:356)
     seed: int = 42
     text_encoder: str = "microsoft/deberta-v3-xsmall"
     image_encoder: str = "microsoft/swinv2-base-patch4-window8-256"

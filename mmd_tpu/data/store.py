@@ -43,8 +43,10 @@ class ArrayStoreWriter:
             if meta["capacity"] != capacity or set(meta["columns"]) != set(self.columns):
                 raise ValueError(f"existing store at {self.dir} is incompatible")
             self.count = meta["count"]
+            self.extra: dict = meta.get("extra", {})
         else:
             self.count = 0
+            self.extra = {}
             self._write_meta()
         for name, (shape, dtype) in self.columns.items():
             path = self.dir / f"{name}.npy"
@@ -65,18 +67,31 @@ class ArrayStoreWriter:
                 k: {"shape": list(s), "dtype": d.str}
                 for k, (s, d) in self.columns.items()
             },
+            "extra": self.extra,
         }
         tmp = self.dir / (META_NAME + ".tmp")
         tmp.write_text(json.dumps(meta, indent=1))
         tmp.replace(self.dir / META_NAME)
 
-    def append_batch(self, batch: Dict[str, np.ndarray]) -> None:
+    def append_batch(self, batch: Dict[str, np.ndarray],
+                     extra: Optional[dict] = None) -> None:
+        """Append rows; `extra` (e.g. a producer's resume cursor) is
+        persisted in the SAME atomic meta.json write as the new count, so a
+        crash can never commit one without the other."""
         n = len(next(iter(batch.values())))
         if self.count + n > self.capacity:
             raise ValueError("store capacity exceeded")
         for name, arr in batch.items():
             self._mm[name][self.count:self.count + n] = arr
         self.count += n
+        if extra:
+            self.extra.update(extra)
+        self._write_meta()
+
+    def update_extra(self, **kv) -> None:
+        """Persist extra metadata without appending rows (e.g. advance the
+        resume cursor past a batch that produced no valid samples)."""
+        self.extra.update(kv)
         self._write_meta()
 
     def finalize(self) -> None:

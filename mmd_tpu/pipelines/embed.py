@@ -88,11 +88,14 @@ def embed_csv(
         },
     )
 
-    # Resume: find which valid sample index the writer stopped at by
-    # replaying validity (cheap: just image-path presence check happens per
-    # batch; we track a cursor of processed CSV rows in meta-sidecar).
-    cursor_path = Path(store_path) / "cursor.txt"
-    start_row = int(cursor_path.read_text()) if cursor_path.exists() else 0
+    # Resume: the CSV row cursor lives in the store's meta.json and is
+    # written in the SAME atomic rename as the sample count (a separate
+    # cursor file could lag the count across a crash and replay a batch,
+    # appending duplicates). Legacy cursor.txt is honored for old stores.
+    legacy_cursor = Path(store_path) / "cursor.txt"
+    start_row = int(writer.extra.get(
+        "csv_cursor",
+        int(legacy_cursor.read_text()) if legacy_cursor.exists() else 0))
     skipped = 0
     t0 = time.time()
     from mmd_tpu.core.profiling import Stages
@@ -154,8 +157,9 @@ def embed_csv(
                 "doc_image_embeds": di[idx],
                 "labels": categories_to_label_array(
                     rows["category"].tolist())[idx],
-            })
-        cursor_path.write_text(str(lo + n))
+            }, extra={"csv_cursor": lo + n})
+        else:
+            writer.update_extra(csv_cursor=lo + n)
 
     writer.finalize()
     dt_s = time.time() - t0

@@ -169,18 +169,25 @@ def run_training(
 def evaluate(trainer: Trainer, state: TrainState,
              batches: Iterable[dict], num_classes: int) -> dict:
     acc: dict = {}
-    losses = []
+    nll_sum = 0.0
+    nll_count = 0
     for batch in batches:
         mask = batch.pop("_pad_mask", None)
         batch = {k: v for k, v in batch.items() if not k.startswith("_")}
         batch = trainer.shard_batch(batch)
         aux = trainer.eval_step(state.params, batch)
         aux = {k: np.asarray(v) for k, v in aux.items()}
+        # val/loss from per-sample nll so the ragged tail's padded duplicate
+        # rows don't count and every VALID sample is weighted equally
+        # (batch means would overweight the short tail batch).
+        nll = aux.pop("nll")
         if mask is not None:
             aux["preds"] = aux["preds"][mask]
             aux["labels"] = aux["labels"][mask]
-        losses.append(float(aux["loss"]))
+            nll = nll[mask]
+        nll_sum += float(nll.sum())
+        nll_count += int(nll.shape[0])
         _accumulate(acc, aux)
     logs = _flush_metrics(acc, num_classes, "val")
-    logs["val/loss"] = float(np.mean(losses)) if losses else 0.0
+    logs["val/loss"] = nll_sum / nll_count if nll_count else 0.0
     return logs

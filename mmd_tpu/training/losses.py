@@ -15,11 +15,17 @@ import jax.numpy as jnp
 from mmd_tpu.data.labels import PATHS
 
 
-def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean softmax cross-entropy; logits (B, C) fp32, labels (B,) int."""
+def cross_entropy_per_sample(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Per-sample softmax cross-entropy; logits (B, C) fp32, labels (B,) int.
+    Returns (B,)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)
-    return jnp.mean(nll)
+    return nll[:, 0]
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean softmax cross-entropy; logits (B, C) fp32, labels (B,) int."""
+    return jnp.mean(cross_entropy_per_sample(logits, labels))
 
 
 def multipath_loss(

@@ -34,10 +34,11 @@ class TrainState(NamedTuple):
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW with torch-default hyperparams (reference train.py:356 uses
     torch AdamW defaults: betas (0.9, 0.999), eps 1e-8, wd 0.01 — the
-    reference passes only lr, so torch's default weight_decay=0.01 applies)."""
+    reference passes only lr; parity with torch's default lives in
+    TrainConfig.weight_decay's default, so wd=0 here really disables it)."""
     return optax.adamw(
         learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
-        weight_decay=0.01 if cfg.weight_decay == 0.0 else cfg.weight_decay,
+        weight_decay=cfg.weight_decay,
     )
 
 
@@ -70,14 +71,24 @@ def _loss_fn(params, mcfg: ModelConfig, batch, rng, deterministic=False):
         logits, _ = outputs
         loss = single_loss(logits, labels)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return loss, {"loss": loss, "preds": preds[:, None],
-                      "labels": labels[:, None].astype(jnp.int32)}
+        aux = {"loss": loss, "preds": preds[:, None],
+               "labels": labels[:, None].astype(jnp.int32)}
+        if deterministic:  # eval: per-sample nll so padded rows can be masked
+            from mmd_tpu.training.losses import cross_entropy_per_sample
+            aux["nll"] = cross_entropy_per_sample(logits, labels)
+        return loss, aux
     total, per_path = multipath_loss(outputs, labels)
     (y_t_t, y_t_i), (y_i_t, y_i_i) = outputs
     preds = jnp.stack(
         [jnp.argmax(y, axis=-1) for y in (y_t_t, y_t_i, y_i_t, y_i_i)], axis=1
     ).astype(jnp.int32)
     aux = {"loss": total, "preds": preds, "labels": labels.astype(jnp.int32)}
+    if deterministic:
+        from mmd_tpu.training.losses import cross_entropy_per_sample
+        aux["nll"] = sum(
+            cross_entropy_per_sample(y, labels[:, idx])
+            for idx, y in enumerate((y_t_t, y_t_i, y_i_t, y_i_i))
+            if y is not None)
     for name in PATHS:
         if name in per_path:
             aux[f"{name}_loss"] = per_path[name]
