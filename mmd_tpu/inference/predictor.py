@@ -65,8 +65,9 @@ class MisinformationPredictor:
 
         @jax.jit
         def _image(p, u8):
+            from mmd_tpu.models.frozen import image_encode
             x = normalize_on_device(u8, self._img_transform(), vit_dtype)
-            return V.vit_forward(p, self.enc.vit_cfg, x)
+            return image_encode(p, self.enc.vit_cfg, x)
 
         @jax.jit
         def _fusion(p, x_t, x_i, e_t, e_i):

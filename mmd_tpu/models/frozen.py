@@ -33,11 +33,14 @@ DEFAULT_ASSETS = "assets/encoders"
 
 @dataclasses.dataclass
 class FrozenEncoders:
-    tokenizer: WordPieceTokenizer
+    tokenizer: object         # WordPieceTokenizer, or UnigramTokenizer when
+                              # a converted spm vocab is present (same
+                              # encode_batch/vocab_size/save contract)
     text_cfg: object          # TransformerConfig (BERT-class) or DebertaConfig
     text_params: dict
-    vit_cfg: V.ViTConfig
-    vit_params: dict
+    vit_cfg: object           # ViTConfig, or SwinConfig when a converted
+    vit_params: dict          # Swinv2 checkpoint is present (both expose
+                              # num_tokens/hidden_size/image_size/compute_dtype)
 
 
 def text_encode(params: dict, cfg, input_ids, attention_mask=None):
@@ -47,6 +50,16 @@ def text_encode(params: dict, cfg, input_ids, attention_mask=None):
     if isinstance(cfg, DebertaConfig):
         return deberta_encode(params, cfg, input_ids, attention_mask)
     return te.encode(params, cfg, input_ids, attention_mask)
+
+
+def image_encode(params: dict, cfg, images):
+    """Dispatch on the image-encoder family: ViT substitute or Swinv2 (the
+    reference's actual encoder, used when its converted checkpoint is
+    present). images (B, H, W, 3) float NHWC -> (B, num_tokens, hidden)."""
+    from mmd_tpu.models.swin import SwinConfig, swin_forward
+    if isinstance(cfg, SwinConfig):
+        return swin_forward(params, cfg, images)
+    return V.vit_forward(params, cfg, images)
 
 
 def _load_ckpt(path: Path):
@@ -66,8 +79,15 @@ def load_or_init_frozen(
     assets = Path(assets_dir)
     assets.mkdir(parents=True, exist_ok=True)
 
+    # converted spm-unigram vocab takes priority: it reproduces the
+    # reference's DebertaV2Tokenizer ids exactly (exported alongside the
+    # DeBERTa checkpoint by tools/convert_hf.py)
+    spm_path = assets / "spm.json"
     tok_path = assets / "tokenizer.json"
-    if tok_path.exists():
+    if spm_path.exists():
+        from mmd_tpu.data.spm import UnigramTokenizer
+        tokenizer = UnigramTokenizer.load(spm_path)
+    elif tok_path.exists():
         tokenizer = WordPieceTokenizer.load(tok_path)
     else:
         if vocab_texts is None:
@@ -103,8 +123,16 @@ def load_or_init_frozen(
         text_params = _load_ckpt(assets / "text_encoder.ckpt")
         if text_params is None:
             text_params = te.init_text_encoder(jax.random.key(seed), text_cfg)
-    vit_params = _load_ckpt(assets / "vit.ckpt")
-    if vit_params is None:
-        vit_params = V.init_vit(jax.random.key(seed + 1), vit_cfg)
+    # converted Swinv2 checkpoint takes priority (the reference's encoder)
+    vit_params = None if tiny else _load_ckpt(assets / "swinv2.ckpt")
+    if vit_params is not None:
+        import json as _json
+        from mmd_tpu.models.swin import SwinConfig
+        vit_cfg = SwinConfig(
+            **_json.loads((assets / "swinv2_config.json").read_text()))
+    else:
+        vit_params = _load_ckpt(assets / "vit.ckpt")
+        if vit_params is None:
+            vit_params = V.init_vit(jax.random.key(seed + 1), vit_cfg)
 
     return FrozenEncoders(tokenizer, text_cfg, text_params, vit_cfg, vit_params)

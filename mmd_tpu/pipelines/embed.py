@@ -68,9 +68,10 @@ def embed_csv(
 
     @jax.jit
     def _encode_image(params, u8):
+        from mmd_tpu.models.frozen import image_encode
         x = normalize_on_device(u8, TRAIN_TRANSFORM,
                                 jnp.dtype(enc.vit_cfg.compute_dtype))
-        return V.vit_forward(params, enc.vit_cfg, x)
+        return image_encode(params, enc.vit_cfg, x)
 
     encode_text = lambda ids, mask: _encode_text(enc.text_params, ids, mask)
     encode_image = lambda u8: _encode_image(enc.vit_params, u8)

@@ -147,10 +147,10 @@ def make_encoding_train_step(cfg: TrainConfig, mesh: Mesh, enc,
     dtype = jnp.dtype(mcfg.compute_dtype)
 
     def encode(frozen, batch):
-        from mmd_tpu.models.frozen import text_encode
+        from mmd_tpu.models.frozen import image_encode, text_encode
         text = lambda ids, mask: text_encode(frozen["text"], enc.text_cfg,
                                              ids, mask)
-        image = lambda u8: V.vit_forward(
+        image = lambda u8: image_encode(
             frozen["vit"], enc.vit_cfg,
             normalize_on_device(u8, TRAIN_TRANSFORM, dtype))
         emb = {

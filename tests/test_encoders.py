@@ -116,3 +116,68 @@ def test_hf_state_dict_conversion(rng):
     out = te.encode(params, cfg, ids, jnp.ones((2, 8), jnp.int32))
     assert out.shape == (2, 8, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_swin_forward_shapes_and_finite(rng):
+    from mmd_tpu.models import swin as S
+
+    cfg = S.SWIN_TEST
+    params = S.init_swin(jax.random.key(0), cfg)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    out = S.swin_forward(params, cfg, imgs)
+    assert out.shape == (2, cfg.num_tokens, cfg.hidden_size) == (2, 16, 32)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_swin_shift_invariance_of_plain_windows(rng):
+    """A shifted block with shift=0 mask must equal attention over rolled
+    windows rolled back: sanity for the roll/partition plumbing — permuting
+    batch order of identical images changes nothing."""
+    from mmd_tpu.models import swin as S
+
+    cfg = S.SWIN_TEST
+    params = S.init_swin(jax.random.key(1), cfg)
+    img = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    batch = jnp.asarray(np.concatenate([img, img]), jnp.float32)
+    out = np.asarray(S.swin_forward(params, cfg, batch))
+    np.testing.assert_allclose(out[0], out[1], rtol=1e-6, atol=1e-6)
+
+
+def test_frozen_resolver_prefers_converted_swinv2(rng, tmp_path):
+    """End-to-end asset path: convert_hf-style Swinv2 save -> frozen resolver
+    -> image_encode must reproduce the HF model (the reference's encoder,
+    preprocess_embeddings.py:26-28)."""
+    torch = pytest.importorskip("torch")
+    import dataclasses as dc
+    import json
+
+    from transformers import Swinv2Config, Swinv2Model
+
+    from mmd_tpu.core.checkpoint import save_params
+    from mmd_tpu.models import swin as S
+    from mmd_tpu.models.frozen import image_encode, load_or_init_frozen
+
+    hf = Swinv2Model(Swinv2Config(
+        image_size=32, patch_size=4, embed_dim=16, depths=[2, 2],
+        num_heads=[2, 4], window_size=4, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, drop_path_rate=0.0),
+        add_pooling_layer=False)
+    hf.eval()
+    cfg = S.config_from_hf(hf.config)
+    cfg.compute_dtype = "float32"
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    save_params(str(tmp_path / "swinv2.ckpt"),
+                S.load_hf_swinv2_state_dict(sd, cfg))
+    (tmp_path / "swinv2_config.json").write_text(
+        json.dumps(dc.asdict(cfg), indent=1))
+
+    enc = load_or_init_frozen(tmp_path, vocab_texts=["hello world"] * 4,
+                              vocab_size=64)
+    assert isinstance(enc.vit_cfg, S.SwinConfig)
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(image_encode(enc.vit_params, enc.vit_cfg,
+                                  jnp.asarray(imgs)))
+    with torch.no_grad():
+        want = hf(pixel_values=torch.tensor(
+            imgs.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)

@@ -130,3 +130,38 @@ def test_vit_conversion_output_parity(torch, rng):
     got = np.asarray(V.vit_forward(params, cfg, jnp.asarray(imgs)))
     # HF output row 0 is the CLS token; ours is the 16-patch grid
     np.testing.assert_allclose(got, want[:, 1:], rtol=3e-4, atol=3e-5)
+
+
+def test_swinv2_conversion_output_parity(torch, rng):
+    """Swinv2 (the reference's actual image encoder family,
+    swinv2-base-patch4-window8-256): cosine window attention, continuous
+    position bias, shifted windows (incl. HF's double-added mask), post-norm
+    blocks, v2 patch merging — must reproduce HF Swinv2Model outputs on
+    random weights. Reference preprocess_embeddings.py:26-28."""
+    from transformers import Swinv2Config, Swinv2Model
+
+    from mmd_tpu.models import swin as S
+
+    hf_cfg = Swinv2Config(
+        image_size=32, patch_size=4, embed_dim=16, depths=[2, 2],
+        num_heads=[2, 4], window_size=4, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, drop_path_rate=0.0,
+        layer_norm_eps=1e-5, hidden_act="gelu")
+    hf = Swinv2Model(hf_cfg, add_pooling_layer=False)
+    hf.eval()
+
+    cfg = S.config_from_hf(hf_cfg)
+    cfg.compute_dtype = "float32"
+    # sanity: stage 0 (res 8 > window 4) must exercise the shifted path
+    assert cfg.stage_window_shift(0, 1) == (4, 2)
+    assert cfg.stage_window_shift(1, 1) == (4, 0)   # res == window: no shift
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = S.load_hf_swinv2_state_dict(sd, cfg)
+
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(pixel_values=torch.tensor(
+            imgs.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    got = np.asarray(S.swin_forward(params, cfg, jnp.asarray(imgs)))
+    assert got.shape == want.shape == (2, 16, 32)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)

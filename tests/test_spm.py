@@ -1,0 +1,148 @@
+"""SentencePiece-unigram tokenizer: proto round-trip + segmentation parity
+against the Rust `tokenizers` Unigram oracle (the engine behind HF
+DebertaV2TokenizerFast), fully offline."""
+
+import numpy as np
+import pytest
+
+from mmd_tpu.data.spm import (
+    CONTROL, NORMAL, UNKNOWN, UnigramTokenizer, build_spm_model,
+    parse_spm_model,
+)
+
+FIXTURES = [
+    "hello world",
+    "The quick brown fox jumps over the lazy dog.",
+    "Misinformation detection at scale:  multimodal  evidence!",
+    "claim vs document, text & image",
+    "a",
+    "",
+    "    leading and trailing    ",
+    "unicode éèê café naïve",
+    "OOV glyphs ☃❤ mixed in",
+    "numbers 12345 and 3.14159",
+    "hyphen-ated co-operation e-mail",
+]
+
+
+def make_pieces(seed=0):
+    """DeBERTa-convention unigram vocab: specials at 0-3, then single chars
+    and English subwords with distinct pseudo-random scores."""
+    rng = np.random.default_rng(seed)
+    pieces = [("[PAD]", 0.0, CONTROL), ("[CLS]", 0.0, CONTROL),
+              ("[SEP]", 0.0, CONTROL), ("[UNK]", 0.0, UNKNOWN)]
+    chars = list("abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.,!&:-éè")
+    subwords = ["▁the", "▁hello", "▁world", "▁quick",
+                "▁brown", "▁fox", "▁over", "▁lazy",
+                "▁dog", "ing", "tion", "▁mis", "inform", "ation",
+                "▁detec", "▁multi", "modal", "▁evidence",
+                "▁claim", "▁document", "▁text", "▁image",
+                "▁and", "▁café", "▁na", "ïve",
+                "▁num", "bers", "▁12", "345", "▁3", "14159",
+                "▁co", "▁e", "mail", "oper", "▁a", "▁",
+                "er", "at"]
+    for tok in chars + subwords:
+        pieces.append((tok, float(-1.0 - 12.0 * rng.random()), NORMAL))
+    return pieces
+
+
+def test_proto_round_trip():
+    pieces = make_pieces()
+    blob = build_spm_model(pieces)
+    got = parse_spm_model(blob)
+    assert [p for p, _, _ in got] == [p for p, _, _ in pieces]
+    assert [t for _, _, t in got] == [t for _, _, t in pieces]
+    # scores survive as float32
+    np.testing.assert_allclose([s for _, s, _ in got],
+                               np.float32([s for s, in
+                                           [(s,) for _, s, _ in pieces]]),
+                               rtol=0, atol=0)
+
+
+def _oracle(pieces):
+    """HF-tokenizers Unigram with the same normalization/pre-tokenization
+    pipeline the DebertaV2 SpmConverter builds."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, normalizers, pre_tokenizers
+    from tokenizers.models import Unigram
+
+    vocab = [(p, s) for p, s, _ in pieces]
+    tok = Tokenizer(Unigram(vocab, unk_id=3, byte_fallback=False))
+    tok.normalizer = normalizers.Sequence([
+        normalizers.NFKC(),
+        normalizers.Replace(tokenizers.Regex(r"\s+"), " "),
+        normalizers.Strip(),
+    ])
+    # spm's add_dummy_prefix=True (the DeBERTa models) = "always"
+    tok.pre_tokenizer = pre_tokenizers.Metaspace(
+        replacement="▁", prepend_scheme="always")
+    return tok
+
+
+def test_segmentation_parity_vs_rust_unigram():
+    pieces = make_pieces()
+    # feed our tokenizer the float32-rounded scores the proto would carry,
+    # the same floats the oracle receives
+    blob = build_spm_model(pieces)
+    ours = UnigramTokenizer.from_spm_model(blob)
+    oracle = _oracle(parse_spm_model(blob))
+    for text in FIXTURES:
+        want = oracle.encode(text).ids
+        got = ours.tokenize_ids(text)
+        assert got == want, (text, ours.tokenize(text),
+                             oracle.encode(text).tokens)
+
+
+def test_deberta_conventions_and_batch_contract():
+    tok = UnigramTokenizer(make_pieces())
+    assert (tok.pad_id, tok.cls_id, tok.sep_id, tok.unk_id) == (0, 1, 2, 3)
+    ids, mask, types = tok.encode_batch(
+        ["hello world", "the dog", ""], max_length=16)
+    assert ids.shape == mask.shape == types.shape == (3, 16)
+    assert ids.dtype == np.int32
+    # [CLS] x [SEP] structure, PAD tail
+    row = ids[0][mask[0] == 1]
+    assert row[0] == tok.cls_id and row[-1] == tok.sep_id
+    assert (ids[0][mask[0] == 0] == tok.pad_id).all()
+    # empty text still yields [CLS][SEP]
+    assert list(ids[2][mask[2] == 1]) == [tok.cls_id, tok.sep_id]
+    # truncation keeps the trailing [SEP]
+    long_ids, long_mask, _ = tok.encode_batch(
+        ["the quick brown fox jumps over the lazy dog " * 20], max_length=12)
+    assert long_mask.sum() == 12 and long_ids[0, -1] == tok.sep_id
+
+
+def test_unknown_fusion_and_coverage():
+    tok = UnigramTokenizer(make_pieces())
+    # snowman+heart are OOV: consecutive unknowns fuse to ONE [UNK]
+    ids = tok.tokenize_ids("☃❤")
+    assert ids.count(tok.unk_id) >= 1
+    fused = [i for i in ids if i == tok.unk_id]
+    assert len(fused) == 1
+    # every fixture encodes without error and round-trips id ranges
+    for text in FIXTURES:
+        for i in tok.tokenize_ids(text):
+            assert 0 <= i < len(tok.pieces)
+
+
+def test_save_load_round_trip(tmp_path):
+    tok = UnigramTokenizer(make_pieces())
+    tok.save(tmp_path / "spm.json")
+    tok2 = UnigramTokenizer.load(tmp_path / "spm.json")
+    for text in FIXTURES:
+        assert tok.tokenize_ids(text) == tok2.tokenize_ids(text)
+
+
+def test_frozen_resolver_prefers_spm_vocab(tmp_path):
+    """assets/spm.json (exported by convert_hf alongside the DeBERTa ckpt)
+    must win over corpus-trained WordPiece, and feed fixed-shape batches."""
+    from mmd_tpu.data.spm import UnigramTokenizer
+    from mmd_tpu.models.frozen import load_or_init_frozen
+
+    UnigramTokenizer(make_pieces()).save(tmp_path / "spm.json")
+    enc = load_or_init_frozen(tmp_path, vocab_texts=["unused"], tiny=True)
+    assert isinstance(enc.tokenizer, UnigramTokenizer)
+    ids, mask, types = enc.tokenizer.encode_batch(
+        ["hello world", "the dog"], max_length=32)
+    assert ids.shape == (2, 32) and mask.sum() > 4

@@ -10,14 +10,13 @@ checkpoints up automatically.
       --resnet --out assets/encoders
 
 Notes:
-  * text conversion targets BERT-family state-dict naming
-    (models/text_encoder.load_hf_state_dict); DeBERTa's disentangled-
-    attention extras are dropped (the core QKV/FFN stack maps 1:1) — exact
-    DeBERTa parity would need the relative-position terms, which this
-    framework trades for a standard encoder at identical dims;
-  * the image checkpoint must expose a ViT-compatible patch embedding to map
-    onto models/vit.py; Swin's windowed stages do not map 1:1 — prefer a ViT
-    checkpoint (e.g. google/vit-large-patch32-384-class) or train/distill;
+  * --text dispatches on model_type: DeBERTa-v2/v3 converts EXACTLY into the
+    disentangled-attention encoder (models/deberta.py, output-parity-tested
+    in tests/test_hf_parity.py); BERT-family maps onto
+    models/text_encoder.load_hf_state_dict;
+  * --image dispatches on model_type: Swinv2 converts EXACTLY into
+    models/swin.py (cosine window attention, continuous position bias —
+    output-parity-tested); plain ViT maps onto models/vit.py;
   * torchvision resnet50 maps exactly (models/resnet.load_torchvision_state_dict).
 """
 
@@ -118,6 +117,20 @@ def convert_deberta(model_id: str, out: Path):
           f"({cfg.num_layers}L, {cfg.hidden_size}d, "
           f"buckets {cfg.position_buckets})")
 
+    # export the spm-unigram vocab so runtime tokenization reproduces
+    # DebertaV2Tokenizer ids exactly (reference train.py:136-140); parsed
+    # with our own ModelProto reader — no sentencepiece needed here either
+    try:
+        from huggingface_hub import hf_hub_download
+
+        from mmd_tpu.data.spm import UnigramTokenizer
+        spm_file = hf_hub_download(model_id, "spm.model")
+        tok = UnigramTokenizer.from_spm_model(Path(spm_file).read_bytes())
+        tok.save(out / "spm.json")
+        print(f"spm tokenizer exported ({len(tok.pieces)} pieces)")
+    except Exception as e:
+        print(f"spm tokenizer export skipped: {e}")
+
 
 def convert_vit(model_id: str, out: Path):
     import dataclasses
@@ -145,6 +158,42 @@ def convert_vit(model_id: str, out: Path):
           f"({cfg.num_layers}L, {cfg.hidden_size}d, {cfg.num_tokens} tokens)")
 
 
+def convert_image(model_id: str, out: Path):
+    """Dispatch on the HF image-encoder family."""
+    from transformers import AutoConfig
+
+    model_type = AutoConfig.from_pretrained(model_id).model_type
+    if model_type == "swinv2":
+        return convert_swin(model_id, out)
+    if model_type == "vit":
+        return convert_vit(model_id, out)
+    raise ValueError(f"unsupported image encoder family: {model_type} "
+                     "(supported: swinv2, vit)")
+
+
+def convert_swin(model_id: str, out: Path):
+    """Swinv2: exact conversion into the windowed cosine-attention encoder
+    (models/swin.py), output-parity-tested offline (the reference's actual
+    image encoder, preprocess_embeddings.py:26-28)."""
+    import dataclasses
+    import json
+
+    from transformers import Swinv2Model
+
+    from mmd_tpu.core.checkpoint import save_params
+    from mmd_tpu.models import swin as S
+
+    model = Swinv2Model.from_pretrained(model_id, add_pooling_layer=False)
+    cfg = S.config_from_hf(model.config)
+    params = S.load_hf_swinv2_state_dict(_to_numpy_state_dict(model), cfg)
+    save_params(str(out / "swinv2.ckpt"), params)
+    (out / "swinv2_config.json").write_text(
+        json.dumps(dataclasses.asdict(cfg), indent=1))
+    print(f"swinv2 converted: {model_id} -> {out}/swinv2.ckpt "
+          f"(depths {cfg.depths}, {cfg.hidden_size}d, "
+          f"{cfg.num_tokens} tokens)")
+
+
 def convert_resnet(out: Path):
     import torchvision
 
@@ -160,8 +209,11 @@ def convert_resnet(out: Path):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--text", type=str, default=None)
+    p.add_argument("--image", type=str, default=None,
+                   help="swinv2 or vit model id (dispatches on model_type), "
+                        "e.g. microsoft/swinv2-base-patch4-window8-256")
     p.add_argument("--vit", type=str, default=None,
-                   help="e.g. google/vit-large-patch32-384 (see module notes)")
+                   help="alias of --image restricted to plain ViT")
     p.add_argument("--resnet", action="store_true")
     p.add_argument("--out", type=str, default="assets/encoders")
     args = p.parse_args()
@@ -169,6 +221,8 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
     if args.text:
         convert_text(args.text, out)
+    if args.image:
+        convert_image(args.image, out)
     if args.vit:
         convert_vit(args.vit, out)
     if args.resnet:
