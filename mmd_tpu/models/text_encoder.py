@@ -28,10 +28,12 @@ TEXT_ENCODER_XSMALL = TransformerConfig(     # deberta-v3-xsmall contract
     vocab_size=128100, hidden_size=384, num_layers=12, num_heads=6,
     intermediate_size=1536, max_position=512,
 )
-BI_ENCODER_BASE = TransformerConfig(         # multi-qa-mpnet-base-dot-v1 contract
+BI_ENCODER_BASE = TransformerConfig(         # multi-qa-mpnet-base-dot-v1
     vocab_size=30527, hidden_size=768, num_layers=12, num_heads=12,
-    intermediate_size=3072, max_position=512,
-)
+    intermediate_size=3072, max_position=514, type_vocab_size=0,
+    relative_bias_buckets=32, mpnet_positions=True, pad_token_id=1,
+    layer_norm_eps=1e-5,                     # true mpnet arch: shared T5-style
+)                                            # relative bias, RoBERTa positions
 CROSS_ENCODER_MINI = TransformerConfig(      # ms-marco-MiniLM-L-6-v2 contract
     vocab_size=30522, hidden_size=384, num_layers=6, num_heads=12,
     intermediate_size=1536, max_position=512,
@@ -85,12 +87,39 @@ def cross_encoder_score(params: dict, cfg: TransformerConfig,
                         token_type_ids: Optional[jax.Array] = None
                         ) -> jax.Array:
     """(B,) relevance score for [CLS] query [SEP] doc [SEP] pair inputs
-    (re-rank contract of text2text_retrieval.py:69-95)."""
+    (re-rank contract of text2text_retrieval.py:69-95). Converted HF
+    cross-encoders (BertForSequenceClassification) carry a pooler
+    (dense+tanh on CLS) before the classifier; scratch models score raw
+    CLS."""
     hidden = transformer_forward(params["backbone"], cfg, input_ids,
                                  attention_mask=attention_mask,
                                  token_type_ids=token_type_ids)
-    return L.linear(params["scorer"], cls_pool(hidden),
-                    jnp.float32)[:, 0]
+    pooled = cls_pool(hidden)
+    if "pooler" in params:
+        pooled = jnp.tanh(L.linear(params["pooler"], pooled, jnp.float32))
+    return L.linear(params["scorer"], pooled, jnp.float32)[:, 0]
+
+
+def load_hf_cross_encoder_state_dict(state_dict: dict,
+                                     cfg: TransformerConfig) -> dict:
+    """Map a HF BertForSequenceClassification state_dict (the ms-marco
+    cross-encoder packaging, reference text2text_retrieval.py:24) onto
+    backbone + pooler + classifier. Output-parity-tested."""
+    def strip(prefix):
+        return {k[len(prefix):]: v for k, v in state_dict.items()
+                if k.startswith(prefix)}
+
+    bert = strip("bert.")
+
+    def lin(sd, prefix):
+        return {"w": np.asarray(sd[f"{prefix}.weight"]).T.astype(np.float32),
+                "b": np.asarray(sd[f"{prefix}.bias"]).astype(np.float32)}
+
+    return {
+        "backbone": load_hf_state_dict(bert, cfg),
+        "pooler": lin(bert, "pooler.dense"),
+        "scorer": lin(state_dict, "classifier"),
+    }
 
 
 # -- HF weight conversion ------------------------------------------------------
@@ -139,3 +168,44 @@ def load_hf_state_dict(state_dict: dict, cfg: TransformerConfig) -> dict:
             "ln2": ln(f"{pre}.output.LayerNorm"),
         })
     return {"embeddings": emb, "layers": layers}
+
+
+def load_hf_mpnet_state_dict(state_dict: dict, cfg: TransformerConfig) -> dict:
+    """Map a HF MPNetModel torch state_dict (numpy values) onto our tree.
+    Requires an mpnet-arch config (relative_bias_buckets=32,
+    mpnet_positions=True, pad_token_id=1, type_vocab_size=0) — the
+    reference's SBERT bi-encoder family (text2text_retrieval.py:21-22).
+    Output-parity-tested in tests/test_hf_parity.py."""
+    assert cfg.relative_bias_buckets and cfg.mpnet_positions, (
+        "mpnet conversion needs the mpnet-arch TransformerConfig flags")
+
+    def get(name):
+        return np.asarray(state_dict[name]).astype(np.float32)
+
+    def lin(prefix):
+        return {"w": get(f"{prefix}.weight").T, "b": get(f"{prefix}.bias")}
+
+    def ln(prefix):
+        return {"scale": get(f"{prefix}.weight"), "bias": get(f"{prefix}.bias")}
+
+    emb = {
+        "word": get("embeddings.word_embeddings.weight"),
+        "position": get("embeddings.position_embeddings.weight"
+                        )[:cfg.max_position],
+        "ln": ln("embeddings.LayerNorm"),
+    }
+    layers = []
+    for i in range(cfg.num_layers):
+        pre = f"encoder.layer.{i}"
+        layers.append({
+            "q": lin(f"{pre}.attention.attn.q"),
+            "k": lin(f"{pre}.attention.attn.k"),
+            "v": lin(f"{pre}.attention.attn.v"),
+            "attn_out": lin(f"{pre}.attention.attn.o"),
+            "ln1": ln(f"{pre}.attention.LayerNorm"),
+            "ffn_in": lin(f"{pre}.intermediate.dense"),
+            "ffn_out": lin(f"{pre}.output.dense"),
+            "ln2": ln(f"{pre}.output.LayerNorm"),
+        })
+    return {"embeddings": emb, "layers": layers,
+            "rel_bias": get("encoder.relative_attention_bias.weight")}

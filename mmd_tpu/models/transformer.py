@@ -37,6 +37,12 @@ class TransformerConfig:
     encoder_hidden_size: int = 0     # cross-attn K/V input dim (0 = hidden_size)
     fused_attn: bool = True
     compute_dtype: str = "bfloat16"
+    # MPNet family (HF modeling_mpnet.py): a T5-style bucketed relative
+    # position bias SHARED across all layers (0 = off), and RoBERTa-style
+    # position ids counted from pad_token_id+1 over non-pad tokens
+    relative_bias_buckets: int = 0
+    mpnet_positions: bool = False
+    pad_token_id: int = 0
 
     @property
     def enc_dim(self) -> int:
@@ -92,11 +98,15 @@ def init_layer(key: jax.Array, cfg: TransformerConfig) -> dict:
 
 
 def init_transformer(key: jax.Array, cfg: TransformerConfig) -> dict:
-    keys = jax.random.split(key, cfg.num_layers + 1)
-    return {
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    p = {
         "embeddings": init_embeddings(keys[0], cfg),
-        "layers": [init_layer(k, cfg) for k in keys[1:]],
+        "layers": [init_layer(k, cfg) for k in keys[1:-1]],
     }
+    if cfg.relative_bias_buckets:
+        p["rel_bias"] = jax.random.normal(
+            keys[-1], (cfg.relative_bias_buckets, cfg.num_heads)) * 0.02
+    return p
 
 
 # ----------------------------------------------------------------------------
@@ -109,8 +119,16 @@ def embed(params: dict, cfg: TransformerConfig, input_ids: jax.Array,
     """(B, T) int32 -> (B, T, D). position_offset supports KV-cached decode."""
     e = params["word"][input_ids]
     t = input_ids.shape[1]
-    pos = jnp.arange(t) + position_offset
-    e = e + params["position"][pos][None, :, :]
+    if cfg.mpnet_positions:
+        # RoBERTa/MPNet scheme: non-pad tokens numbered pad_id+1, pad_id+2,
+        # ...; pad positions get the pad_id row (HF
+        # create_position_ids_from_input_ids)
+        not_pad = (input_ids != cfg.pad_token_id).astype(jnp.int32)
+        pos_ids = jnp.cumsum(not_pad, axis=1) * not_pad + cfg.pad_token_id
+        e = e + params["position"][pos_ids]
+    else:
+        pos = jnp.arange(t) + position_offset
+        e = e + params["position"][pos][None, :, :]
     if "token_type" in params:
         # segment 0 by default (HF semantics: token_type_ids default to 0)
         if token_type_ids is None:
@@ -193,6 +211,39 @@ def encoder_layer(p: dict, cfg: TransformerConfig, x: jax.Array,
     return x, new_cache
 
 
+def relative_position_bucket(t: int, num_buckets: int = 32,
+                             max_distance: int = 128):
+    """(t, t) int32 bucket ids, exactly HF
+    MPNetEncoder.relative_position_bucket (T5-style: half the buckets for
+    each sign, half of those exact, log-spaced beyond)."""
+    import numpy as np
+    pos = np.arange(t, dtype=np.int64)
+    n = pos[:, None] - pos[None, :]        # -(memory - context) = ctx - mem
+    num_buckets //= 2
+    ret = (n < 0).astype(np.int64) * num_buckets
+    n = np.abs(n)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    with np.errstate(divide="ignore"):
+        val_if_large = max_exact + (
+            np.log(np.maximum(n, 1).astype(np.float32) / max_exact)
+            / np.log(max_distance / max_exact) * (num_buckets - max_exact)
+        ).astype(np.int64)
+    val_if_large = np.minimum(val_if_large, num_buckets - 1)
+    ret += np.where(is_small, n, val_if_large)
+    return ret.astype(np.int32)
+
+
+def mpnet_position_bias(params: dict, cfg: TransformerConfig,
+                        t: int) -> jax.Array:
+    """(1, H, T, T) fp32 additive bias shared by every layer (HF
+    MPNetEncoder.compute_position_bias; the bucket count is the table size,
+    independent of padding)."""
+    idx = jnp.asarray(relative_position_bucket(t, cfg.relative_bias_buckets))
+    values = params["rel_bias"].astype(jnp.float32)[idx]   # (T, T, H)
+    return values.transpose(2, 0, 1)[None]
+
+
 def attention_mask_from_ids(attention_mask: jax.Array, tq: int) -> jax.Array:
     """(B, Tk) {0,1} -> additive (B, 1, tq, Tk) mask."""
     neg = jnp.asarray(-1e9, jnp.float32)
@@ -223,6 +274,11 @@ def transformer_forward(
     if causal:
         cm = causal_mask(t)
         mask = cm if mask is None else mask + cm
+    if cfg.relative_bias_buckets:
+        # rides the additive-mask slot ((1,H,T,T) broadcasts against
+        # (B,1,T,T)); layers with a bias always take the jnp masked path
+        bias = mpnet_position_bias(params, cfg, t)
+        mask = bias if mask is None else mask + bias
     cross = None
     if encoder_states is not None and encoder_mask is not None:
         cross = attention_mask_from_ids(encoder_mask, t)

@@ -23,10 +23,18 @@ from mmd_tpu.data.tokenizer import WordPieceTokenizer
 
 
 def build_text_corpora(splits, tokenizer, root: Path, tiny: bool = False,
-                       batch_size: int = 64):
+                       batch_size: int = 64,
+                       assets: str | Path = "assets/encoders"):
     from mmd_tpu.models import text_encoder as te
-    from mmd_tpu.retrieval.text import TextCorpus
+    from mmd_tpu.retrieval.text import TextCorpus, resolve_retrieval_encoders
     cfg = te.TINY_TEST if tiny else None
+    params = None
+    if not tiny:
+        conv = resolve_retrieval_encoders(assets)
+        if conv["bi_params"] is not None:
+            cfg, params = conv["bi_cfg"], conv["bi_params"]
+            tokenizer = conv["bi_tokenizer"] or tokenizer
+            print(f"[build_retrieval] using converted bi-encoder from {assets}")
     out = []
     for split in splits:
         csv = root / "data" / "preprocessed" / f"{split}_enriched.csv"
@@ -38,7 +46,7 @@ def build_text_corpora(splits, tokenizer, root: Path, tiny: bool = False,
         df = pd.read_csv(csv)
         col = "evidence_enriched" if "evidence_enriched" in df else "evidence"
         corpus = TextCorpus(root / "data" / "retrieval" / f"text_{split}",
-                            tokenizer, cfg=cfg)
+                            tokenizer, cfg=cfg, params=params)
         corpus.encode_corpus(
             df[col].fillna("").astype(str).tolist(),
             [f"{split}_{i}" for i in df["id"]], batch_size=batch_size)
@@ -78,7 +86,8 @@ def main():
     args = p.parse_args()
     root = get_project_root()
     tok = WordPieceTokenizer.load(Path(args.assets) / "tokenizer.json")
-    build_text_corpora(args.splits, tok, root, args.tiny, args.batch_size)
+    build_text_corpora(args.splits, tok, root, args.tiny, args.batch_size,
+                       assets=args.assets)
     if not args.skip_images:
         build_image_corpus(args.splits, root, args.tiny)
 

@@ -88,6 +88,38 @@ class TextCorpus:
         return self._emb, self._ids
 
 
+def resolve_retrieval_encoders(assets_dir) -> dict:
+    """Converted retrieval assets (tools/convert_hf.py --bi_encoder /
+    --cross_encoder): {"bi_cfg","bi_params","bi_tokenizer","cross_cfg",
+    "cross_params"}, entries None when no converted checkpoint is present
+    (seeded-init fallback applies, models/frozen.py semantics)."""
+    import json
+    from pathlib import Path as _P
+
+    from mmd_tpu.models.transformer import TransformerConfig
+
+    assets = _P(assets_dir)
+    out = {"bi_cfg": None, "bi_params": None, "bi_tokenizer": None,
+           "cross_cfg": None, "cross_params": None}
+
+    def ckpt(path):
+        from mmd_tpu.core.checkpoint import load_params
+        return load_params(str(path))
+
+    if (assets / "bi_encoder.ckpt").exists():
+        out["bi_cfg"] = TransformerConfig(**json.loads(
+            (assets / "bi_encoder_config.json").read_text()))
+        out["bi_params"] = ckpt(assets / "bi_encoder.ckpt")
+        if (assets / "bi_tokenizer.json").exists():
+            out["bi_tokenizer"] = WordPieceTokenizer.load(
+                assets / "bi_tokenizer.json")
+    if (assets / "cross_encoder.ckpt").exists():
+        out["cross_cfg"] = TransformerConfig(**json.loads(
+            (assets / "cross_encoder_config.json").read_text()))
+        out["cross_params"] = ckpt(assets / "cross_encoder.ckpt")
+    return out
+
+
 class SemanticSearch:
     """Two-stage search over one or more corpora with optional re-rank."""
 

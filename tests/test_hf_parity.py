@@ -165,3 +165,97 @@ def test_swinv2_conversion_output_parity(torch, rng):
     got = np.asarray(S.swin_forward(params, cfg, jnp.asarray(imgs)))
     assert got.shape == want.shape == (2, 16, 32)
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_mpnet_conversion_output_parity(torch, rng):
+    """MPNet (the reference's SBERT bi-encoder family,
+    multi-qa-mpnet-base-dot-v1): shared T5-style bucketed relative position
+    bias + RoBERTa position ids must reproduce HF MPNetModel outputs on
+    random weights. Reference text2text_retrieval.py:21-22."""
+    from transformers import MPNetConfig, MPNetModel
+
+    from mmd_tpu.models import text_encoder as te
+    from mmd_tpu.models.transformer import TransformerConfig
+
+    hf_cfg = MPNetConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=48, relative_attention_num_buckets=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-5)
+    hf = MPNetModel(hf_cfg, add_pooling_layer=False)
+    hf.eval()
+
+    cfg = TransformerConfig(
+        vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=48, layer_norm_eps=1e-5,
+        type_vocab_size=0, relative_bias_buckets=32, mpnet_positions=True,
+        pad_token_id=1, compute_dtype="float32", fused_attn=False)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = te.load_hf_mpnet_state_dict(sd, cfg)
+
+    ids = rng.integers(3, 120, (2, 16)).astype(np.int64)
+    mask = np.ones((2, 16), np.int64)
+    mask[1, 10:] = 0
+    ids[1, 10:] = 1                      # mpnet pad token id = 1
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)
+                  ).last_hidden_state.numpy()
+    got = np.asarray(te.encode(params, cfg, jnp.asarray(ids, jnp.int32),
+                               jnp.asarray(mask, jnp.int32)))
+    np.testing.assert_allclose(got[0], want[0], rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(got[1, :10], want[1, :10], rtol=3e-4, atol=3e-5)
+
+
+def test_mpnet_bucket_table_matches_hf(torch):
+    from transformers.models.mpnet.modeling_mpnet import MPNetEncoder
+
+    from mmd_tpu.models.transformer import relative_position_bucket
+
+    for t in (8, 16, 64, 200, 512):
+        pos = torch.arange(t, dtype=torch.long)
+        rel = pos[None, :] - pos[:, None]       # memory - context
+        want = MPNetEncoder.relative_position_bucket(rel).numpy()
+        got = relative_position_bucket(t)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_cross_encoder_conversion_output_parity(torch, rng):
+    """ms-marco-MiniLM packaging (BertForSequenceClassification, 1 label):
+    backbone + pooler(tanh) + classifier must reproduce HF logits.
+    Reference text2text_retrieval.py:24,69-79."""
+    from transformers import BertConfig, BertForSequenceClassification
+
+    from mmd_tpu.models import text_encoder as te
+    from mmd_tpu.models.transformer import TransformerConfig
+
+    hf_cfg = BertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=48, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, layer_norm_eps=1e-12,
+        num_labels=1, classifier_dropout=0.0)
+    hf = BertForSequenceClassification(hf_cfg)
+    hf.eval()
+
+    cfg = TransformerConfig(
+        vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=48, layer_norm_eps=1e-12,
+        compute_dtype="float32", fused_attn=False)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = te.load_hf_cross_encoder_state_dict(sd, cfg)
+
+    ids = rng.integers(0, 120, (3, 20)).astype(np.int64)
+    mask = np.ones((3, 20), np.int64)
+    mask[2, 12:] = 0
+    types = np.zeros((3, 20), np.int64)
+    types[:, 10:] = 1
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask),
+                  token_type_ids=torch.tensor(types)).logits.numpy()[:, 0]
+    got = np.asarray(te.cross_encoder_score(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        jnp.asarray(types, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)

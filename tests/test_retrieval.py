@@ -138,3 +138,34 @@ def test_text_experiment_protocol(text_setup, tmp_path):
     acc = text_retrieval_experiment(search, queries, ks=(1, 5),
                                     out_file=tmp_path / "t.txt")
     assert acc[1] == 1.0  # identical-text queries must self-retrieve
+
+
+def test_resolve_retrieval_encoders_roundtrip(tmp_path):
+    """Converted bi/cross-encoder assets resolve with configs intact; absent
+    assets resolve to None (seeded-init fallback)."""
+    import dataclasses as dc
+    import json
+
+    import jax
+
+    from mmd_tpu.core.checkpoint import save_params
+    from mmd_tpu.models import text_encoder as te
+    from mmd_tpu.models.transformer import TransformerConfig, init_transformer
+    from mmd_tpu.retrieval.text import resolve_retrieval_encoders
+
+    empty = resolve_retrieval_encoders(tmp_path)
+    assert empty["bi_params"] is None and empty["cross_params"] is None
+
+    cfg = TransformerConfig(vocab_size=64, hidden_size=16, num_layers=1,
+                            num_heads=2, intermediate_size=32,
+                            max_position=32, type_vocab_size=0,
+                            relative_bias_buckets=8, mpnet_positions=True,
+                            pad_token_id=1, compute_dtype="float32")
+    save_params(str(tmp_path / "bi_encoder.ckpt"),
+                init_transformer(jax.random.key(0), cfg))
+    (tmp_path / "bi_encoder_config.json").write_text(
+        json.dumps(dc.asdict(cfg), indent=1))
+    got = resolve_retrieval_encoders(tmp_path)
+    assert got["bi_cfg"].relative_bias_buckets == 8
+    assert got["bi_cfg"].mpnet_positions
+    assert "rel_bias" in got["bi_params"]

@@ -46,6 +46,10 @@ def convert_text(model_id: str, out: Path):
     hf_cfg = AutoConfig.from_pretrained(model_id)
     if hf_cfg.model_type == "deberta-v2":
         return convert_deberta(model_id, out)
+    if hf_cfg.model_type == "mpnet":
+        # mpnet is the SBERT bi-encoder family; a BERT-branch conversion
+        # would silently drop its relative position bias
+        return convert_bi_encoder(model_id, out)
     cfg = TransformerConfig(
         vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
         num_layers=hf_cfg.num_hidden_layers,
@@ -158,6 +162,84 @@ def convert_vit(model_id: str, out: Path):
           f"({cfg.num_layers}L, {cfg.hidden_size}d, {cfg.num_tokens} tokens)")
 
 
+def convert_bi_encoder(model_id: str, out: Path):
+    """SBERT bi-encoder (multi-qa-mpnet-base-dot-v1 family): exact mpnet
+    conversion incl. the shared relative position bias, saved as
+    bi_encoder.ckpt for retrieval (reference text2text_retrieval.py:21-22)."""
+    import dataclasses
+    import json
+
+    from transformers import AutoConfig, AutoModel, AutoTokenizer
+
+    from mmd_tpu.core.checkpoint import save_params
+    from mmd_tpu.models import text_encoder as te
+    from mmd_tpu.models.transformer import TransformerConfig
+
+    hf_cfg = AutoConfig.from_pretrained(model_id)
+    assert hf_cfg.model_type == "mpnet", hf_cfg.model_type
+    cfg = TransformerConfig(
+        vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        max_position=hf_cfg.max_position_embeddings,
+        type_vocab_size=0, layer_norm_eps=hf_cfg.layer_norm_eps,
+        relative_bias_buckets=hf_cfg.relative_attention_num_buckets,
+        mpnet_positions=True, pad_token_id=hf_cfg.pad_token_id)
+    model = AutoModel.from_pretrained(model_id)
+    params = te.load_hf_mpnet_state_dict(_to_numpy_state_dict(model), cfg)
+    save_params(str(out / "bi_encoder.ckpt"), params)
+    (out / "bi_encoder_config.json").write_text(
+        json.dumps(dataclasses.asdict(cfg), indent=1))
+    # mpnet tokenizer is WordPiece with RoBERTa-style special names; rename
+    # the specials to our canonical set (ids are unchanged, so converted
+    # weights still line up)
+    try:
+        tok = AutoTokenizer.from_pretrained(model_id)
+        vocab = [None] * len(tok.get_vocab())
+        for t, i in tok.get_vocab().items():
+            vocab[i] = {"<pad>": "[PAD]", "<unk>": "[UNK]", "<s>": "[CLS]",
+                        "</s>": "[SEP]", "<mask>": "[MASK]"}.get(t, t)
+        from mmd_tpu.data.tokenizer import WordPieceTokenizer
+        WordPieceTokenizer(vocab).save(out / "bi_tokenizer.json")
+        print(f"bi-encoder tokenizer exported ({len(vocab)} tokens)")
+    except Exception as e:
+        print(f"bi-encoder tokenizer export skipped: {e}")
+    print(f"bi-encoder converted: {model_id} -> {out}/bi_encoder.ckpt "
+          f"({cfg.num_layers}L, {cfg.hidden_size}d, mpnet arch)")
+
+
+def convert_cross_encoder(model_id: str, out: Path):
+    """Cross-encoder re-ranker (ms-marco-MiniLM family,
+    BertForSequenceClassification packaging): backbone + pooler +
+    classifier, saved as cross_encoder.ckpt (reference
+    text2text_retrieval.py:24)."""
+    import dataclasses
+    import json
+
+    from transformers import AutoConfig, AutoModelForSequenceClassification
+
+    from mmd_tpu.core.checkpoint import save_params
+    from mmd_tpu.models import text_encoder as te
+    from mmd_tpu.models.transformer import TransformerConfig
+
+    hf_cfg = AutoConfig.from_pretrained(model_id)
+    cfg = TransformerConfig(
+        vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        max_position=hf_cfg.max_position_embeddings,
+        layer_norm_eps=hf_cfg.layer_norm_eps)
+    model = AutoModelForSequenceClassification.from_pretrained(model_id)
+    params = te.load_hf_cross_encoder_state_dict(
+        _to_numpy_state_dict(model), cfg)
+    save_params(str(out / "cross_encoder.ckpt"), params)
+    (out / "cross_encoder_config.json").write_text(
+        json.dumps(dataclasses.asdict(cfg), indent=1))
+    print(f"cross-encoder converted: {model_id} -> {out}/cross_encoder.ckpt")
+
+
 def convert_image(model_id: str, out: Path):
     """Dispatch on the HF image-encoder family."""
     from transformers import AutoConfig
@@ -214,6 +296,10 @@ def main():
                         "e.g. microsoft/swinv2-base-patch4-window8-256")
     p.add_argument("--vit", type=str, default=None,
                    help="alias of --image restricted to plain ViT")
+    p.add_argument("--bi_encoder", type=str, default=None,
+                   help="e.g. sentence-transformers/multi-qa-mpnet-base-dot-v1")
+    p.add_argument("--cross_encoder", type=str, default=None,
+                   help="e.g. cross-encoder/ms-marco-MiniLM-L-6-v2")
     p.add_argument("--resnet", action="store_true")
     p.add_argument("--out", type=str, default="assets/encoders")
     args = p.parse_args()
@@ -225,6 +311,10 @@ def main():
         convert_image(args.image, out)
     if args.vit:
         convert_vit(args.vit, out)
+    if args.bi_encoder:
+        convert_bi_encoder(args.bi_encoder, out)
+    if args.cross_encoder:
+        convert_cross_encoder(args.cross_encoder, out)
     if args.resnet:
         convert_resnet(out)
 
