@@ -39,6 +39,9 @@ class DebertaConfig:
     layer_norm_eps: float = 1e-7
     share_att_key: bool = True       # v3: pos terms reuse query/key projs
     compute_dtype: str = "float32"
+    fused_attn: bool = True          # Pallas disentangled-attention kernel
+                                     # on TPU (strided-roll selection);
+                                     # jnp one-hot path elsewhere
 
     @property
     def pos_ebd_size(self) -> int:
@@ -143,6 +146,110 @@ def _rel_shift(expf: jax.Array, t: int, s: int) -> jax.Array:
     return y.reshape(*lead, t, 2 * t - 1)[..., :s]
 
 
+# -- fused Pallas kernel (TPU fast path) ----------------------------------------
+# The one-hot-einsum selection below costs ~16x the content matmul in MACs
+# (T*(2T-1)*S inner dim vs dh). The kernel computes the positional terms as
+# plain q/k @ pos-table matmuls (2x content cost) and performs the diagonal
+# selection with Mosaic's strided circular roll — zero extra MACs, nothing
+# (T, 2T)-sized ever in HBM:
+#   c2p[t, s] = (q @ PK^T)[t, T-1-t+s]  -> roll(axis=-1, shift=T+1, stride=1)
+#   p2c[t, s] = (k @ PQ^T)[s, T-1+t-s]  -> same roll, then one VMEM transpose
+# (both index forms are the same lane roll because (s+T-1-i) mod 2T =
+# (s-(T+1)-i) mod 2T; shift/stride must be non-negative in Mosaic).
+
+
+def _deberta_attn_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
+                         o_ref, *, num_heads: int, scale: float):
+    """Blocks: q/k/v/o (GB, T, D); pk/pq (2T, D); mask (GB, 1, T) int32."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    gb, t, d = q.shape
+    dh = d // num_heads
+    neg = jnp.finfo(jnp.float32).min
+    key_ok = mask_ref[:] > 0                               # (GB, 1, T)
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh = q[:, :, sl], k[:, :, sl], v[:, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (GB, T, T)
+        c2p = jax.lax.dot_general(
+            qh, pk_ref[:, sl], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (GB, T, 2T)
+        c2p = pltpu.roll(c2p, shift=t + 1, axis=2, stride=1, stride_axis=1)
+        p2c = jax.lax.dot_general(
+            kh, pq_ref[:, sl], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # rows=s, cols=j
+        p2c = pltpu.roll(p2c, shift=t + 1, axis=2, stride=1, stride_axis=1)
+        s = s + c2p[:, :, :t] + jnp.swapaxes(p2c[:, :, :t], 1, 2)
+        s = jnp.where(key_ok, s * scale, neg)
+        w = jax.nn.softmax(s, axis=-1)
+        ctx = jax.lax.dot_general(
+            w.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = ctx.astype(o_ref.dtype)
+
+
+def _deberta_attn_fused(q, k, v, pos_k_d, pos_q_d, mask, num_heads: int,
+                        scale: float):
+    """q/k/v (B, T, D), pos tables (2T, D), mask (B, T) -> ctx (B, T, D)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, d = q.shape
+    gb = 1
+    qblk = pl.BlockSpec((gb, t, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    pblk = pl.BlockSpec((2 * t, d), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    mblk = pl.BlockSpec((gb, 1, t), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_deberta_attn_kernel, num_heads=num_heads,
+                          scale=scale),
+        grid=(b // gb,),
+        in_specs=[qblk, qblk, qblk, pblk, pblk, mblk],
+        out_specs=qblk,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * t * t * d,
+            bytes_accessed=4 * b * t * d * q.dtype.itemsize,
+            transcendentals=b * num_heads * t * t,
+        ),
+    )(q, k, v, pos_k_d, pos_q_d, mask[:, None, :])
+
+
+def _disentangled_attention_fused(p, cfg: DebertaConfig, x, rel_emb, c2p_map,
+                                  p2c_map, key_mask, dtype):
+    """TPU fast path: projections + pos-table gathers in XLA, everything
+    (T x T)-shaped fused in the Pallas kernel."""
+    t = x.shape[1]
+    dh = cfg.hidden_size // cfg.num_heads
+    scale = 1.0 / math.sqrt(dh * 3.0)
+    q = L.linear(p["q"], x, dtype)
+    k = L.linear(p["k"], x, dtype)
+    v = L.linear(p["v"], x, dtype)
+    # packed (2T, D) diagonal tables: head h lives at lanes [h*dh, (h+1)*dh)
+    pos_k = L.linear(p["k"], rel_emb, dtype)               # (2*span, D)
+    pos_q = L.linear(p["q"], rel_emb, dtype)
+    pad = jnp.zeros((1, cfg.hidden_size), dtype)
+    pos_k_d = jnp.concatenate([jnp.take(pos_k, jnp.asarray(c2p_map), axis=0),
+                               pad])                       # (2T, D)
+    pos_q_d = jnp.concatenate([jnp.take(pos_q, jnp.asarray(p2c_map), axis=0),
+                               pad])
+    if key_mask is None:
+        key_mask = jnp.ones((x.shape[0], t), jnp.int32)
+    ctx = _deberta_attn_fused(q, k, v, pos_k_d, pos_q_d,
+                              key_mask.astype(jnp.int32), cfg.num_heads,
+                              scale)
+    return L.linear(p["attn_out"], ctx, dtype)
+
+
 def _disentangled_attention(p, cfg: DebertaConfig, x, rel_emb, c2p_map,
                             p2c_map, key_mask, dtype):
     """One layer's attention with content<->position terms. c2p_map/p2c_map
@@ -220,9 +327,14 @@ def deberta_encode(params: dict, cfg: DebertaConfig, input_ids: jax.Array,
                           params["rel_embeddings"][: span * 2],
                           cfg.layer_norm_eps).astype(dtype)
 
+    # Pallas path needs lane-aligned shapes: D and 2T multiples of 128
+    use_fused = (cfg.fused_attn and jax.default_backend() == "tpu"
+                 and cfg.hidden_size % 128 == 0 and (2 * t) % 128 == 0)
+    attn_fn = (_disentangled_attention_fused if use_fused
+               else _disentangled_attention)
     for p in params["layers"]:
-        a = _disentangled_attention(p, cfg, x, rel_emb, c2p_map, p2c_map,
-                                    attention_mask, dtype)
+        a = attn_fn(p, cfg, x, rel_emb, c2p_map, p2c_map,
+                    attention_mask, dtype)
         x = L.layernorm(p["ln1"], x + a, cfg.layer_norm_eps)
         hdn = jax.nn.gelu(L.linear(p["ffn_in"], x, dtype), approximate=False)
         x = L.layernorm(p["ln2"], x + L.linear(p["ffn_out"], hdn, dtype),
