@@ -131,13 +131,16 @@ def make_train_step(
     )
 
 
-def make_encoding_train_step(cfg: TrainConfig, mesh: Mesh, enc,
-                             optimizer: Optional[optax.GradientTransformation] = None):
-    """Train step for RAW batches: the frozen text/image encoders run inside
-    the same compiled step (reference train.py:134-143's non-pre_embed path),
-    under stop_gradient, then the fusion loss/update. Batch columns come
-    from pipelines/raw_store.py. Frozen params are explicit args (replicated)
-    so they are neither differentiated nor baked into the HLO."""
+def make_encoding_raw_step(cfg: TrainConfig, enc,
+                           optimizer: Optional[optax.GradientTransformation] = None):
+    """Unjitted encoder-in-step train step (state, frozen, batch) -> (state, aux).
+
+    RAW batches: the frozen text/image encoders run inside the same step
+    (reference train.py:134-143's non-pre_embed path), under stop_gradient,
+    then the fusion loss/update. Batch columns come from
+    pipelines/raw_store.py. Frozen params are explicit args (replicated) so
+    they are neither differentiated nor baked into the HLO. Compose into
+    jit (make_encoding_train_step) or lax.scan (make_encoding_multi_step)."""
     from mmd_tpu.models import text_encoder as te
     from mmd_tpu.models import vit as V
     from mmd_tpu.ops.image_ops import TRAIN_TRANSFORM, normalize_on_device
@@ -173,9 +176,39 @@ def make_encoding_train_step(cfg: TrainConfig, mesh: Mesh, enc,
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state, state.rng), aux
 
+    return step_fn
+
+
+def make_encoding_train_step(cfg: TrainConfig, mesh: Mesh, enc,
+                             optimizer: Optional[optax.GradientTransformation] = None):
+    """Compiled single encoder-in-step DP step over the mesh."""
+    step_fn = make_encoding_raw_step(cfg, enc, optimizer)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(step_fn, in_shardings=(repl, repl, data),
+                   out_shardings=(repl, None), donate_argnums=(0,))
+
+
+def make_encoding_multi_step(cfg: TrainConfig, mesh: Mesh, enc, n_steps: int,
+                             optimizer: Optional[optax.GradientTransformation] = None):
+    """Scan window for the encoder-in-step path: one compiled call runs
+    `n_steps` raw-batch train steps over a stacked (K, B, ...) window with
+    the frozen encoder params held constant across the scan. This is the
+    heaviest step (full DeBERTa+ViT forward per batch), so amortizing the
+    per-dispatch host overhead matters most here (reference train.py:109-246
+    hot loop, non-pre_embed path)."""
+    raw = make_encoding_raw_step(cfg, enc, optimizer or make_optimizer(cfg))
+
+    def window_fn(state: TrainState, frozen: dict, batches: dict):
+        def body(st, batch):
+            st, aux = raw(st, frozen, batch)
+            return st, {"loss": aux["loss"], "preds": aux["preds"],
+                        "labels": aux["labels"]}
+        return jax.lax.scan(body, state, batches)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, "data"))   # (K, B, ...) shard dim 1
+    return jax.jit(window_fn, in_shardings=(repl, repl, data),
                    out_shardings=(repl, None), donate_argnums=(0,))
 
 
@@ -243,6 +276,12 @@ class Trainer:
                 {"text": self.encoders.text_params,
                  "vit": self.encoders.vit_params}, repl)
             self.train_step = lambda state, batch: enc_step(state, frozen, batch)
+            if self.cfg.steps_per_call > 1:
+                enc_window = make_encoding_multi_step(
+                    self.cfg, self.mesh, self.encoders,
+                    self.cfg.steps_per_call, self.optimizer)
+                self.train_window = (
+                    lambda state, stacked: enc_window(state, frozen, stacked))
         else:
             self.train_step = make_train_step(self.cfg, self.mesh,
                                               self.optimizer)

@@ -65,6 +65,64 @@ def test_encoding_train_step_runs_and_learns(raw_setup, mesh8):
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_encoding_multi_step_matches_sequential(raw_setup, mesh8):
+    """Scan window on the RAW/encoder-in-step path (VERDICT r1 #7): one
+    windowed call equals per-step calls, bit-for-bit on params."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mmd_tpu.training.trainer import stack_batches
+
+    enc, store = raw_setup
+    model = ModelConfig(
+        text_input_dim=enc.text_cfg.hidden_size,
+        image_input_dim=enc.vit_cfg.hidden_size,
+        embed_dim=32, num_heads=4, hidden_dim=16, compute_dtype="float32",
+        dropout=0.0)
+    cfg = TrainConfig(model=model, batch_size=8, lr=1e-3, steps_per_call=2)
+    tr = Trainer(cfg, mesh8, encoders=enc)
+    assert hasattr(tr, "train_window")
+    cols = ["claim_ids", "claim_mask", "doc_ids", "doc_mask",
+            "claim_image", "doc_image", "labels"]
+    batches = list(store.batches(8, columns=cols))[:1] * 2
+
+    s1 = tr.init()
+    for b in batches:
+        s1, _ = tr.train_step(s1, tr.shard_batch(b))
+
+    s2 = tr.init()
+    stacked = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh8, P(None, "data"))),
+        stack_batches(batches))
+    s2, aux = tr.train_window(s2, stacked)
+    assert np.asarray(aux["loss"]).shape == (2,)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert int(s1.step) == int(s2.step) == 2
+
+
+def test_run_training_raw_path_with_window(raw_setup, mesh8, tmp_path):
+    """run_training drives the encoder-in-step path through the window,
+    including the ragged tail (odd batch count)."""
+    from mmd_tpu.training.loop import run_training
+    enc, store = raw_setup
+    model = ModelConfig(
+        text_input_dim=enc.text_cfg.hidden_size,
+        image_input_dim=enc.vit_cfg.hidden_size,
+        embed_dim=32, num_heads=4, hidden_dim=16, compute_dtype="float32",
+        dropout=0.0)
+    cfg = TrainConfig(model=model, batch_size=8, lr=1e-3, steps_per_call=2,
+                      epochs=1, log_every=2, save_every=0,
+                      output_dir=str(tmp_path))
+    tr = Trainer(cfg, mesh8, encoders=enc)
+    cols = ["claim_ids", "claim_mask", "doc_ids", "doc_mask",
+            "claim_image", "doc_image", "labels"]
+    batches = list(store.batches(8, columns=cols))[:1] * 3  # ragged tail of 1
+    state = run_training(tr, lambda e: iter(batches))
+    assert int(state.step) == len(batches)
+
+
 def test_frozen_encoders_receive_no_updates(raw_setup, mesh8):
     """Gradients flow only into the fusion params; frozen encoder params are
     passed replicated and untouched."""
