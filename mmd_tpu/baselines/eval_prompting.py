@@ -5,8 +5,11 @@ src/baselines/kumar_et_al/eval_bloom.py: prompt -> generate -> keyword
 parse -> 3-class P/R/F1) over a preprocessed CSV. The LLM is pluggable:
 
   --llm stub      deterministic keyword-echo stub (offline CI)
-  --llm captioner ILLUSTRATIVE ONLY: scores prompts with this framework's
-                  decoder-LM (untrained weights => chance-level results)
+  --llm captioner the IN-TREE decoder LM: the captioner's decoder run
+                  text-only (models/captioner.lm_generate), loading
+                  <assets>/captioner.ckpt from pipelines/train_captioner.py
+                  when present (seeded init otherwise). Caption-trained
+                  weights => honest chance-level fact-check numbers.
   --llm hf:<id>   a HF causal LM when weights/network exist
 
 Usage: python -m mmd_tpu.baselines.eval_prompting \
@@ -25,7 +28,84 @@ from mmd_tpu.baselines import prompting as P
 from mmd_tpu.data import labels as lb
 
 
-def make_llm(spec: str):
+def load_captioner_assets(assets: str):
+    """(tokenizer, cfg, params) from a train_captioner.py output dir;
+    seeded init if no checkpoint exists."""
+    import dataclasses as dc
+    import json
+    from pathlib import Path
+
+    import jax
+
+    from mmd_tpu.core.checkpoint import load_params
+    from mmd_tpu.data.tokenizer import WordPieceTokenizer
+    from mmd_tpu.models.captioner import (
+        CAPTIONER_TEST, CaptionerConfig, init_captioner,
+    )
+    from mmd_tpu.models.transformer import TransformerConfig
+    from mmd_tpu.models.vit import ViTConfig
+
+    a = Path(assets)
+    tok = WordPieceTokenizer.load(a / "tokenizer.json")
+    cfg_path = a / "captioner_config.json"
+    if cfg_path.exists():
+        d = json.loads(cfg_path.read_text())
+        cfg = CaptionerConfig(vit=ViTConfig(**d["vit"]),
+                              decoder=TransformerConfig(**d["decoder"]),
+                              max_caption_len=d["max_caption_len"])
+    else:
+        cfg = dc.replace(
+            CAPTIONER_TEST,
+            decoder=dc.replace(CAPTIONER_TEST.decoder,
+                               vocab_size=tok.vocab_size))
+    ckpt = a / "captioner.ckpt"
+    if ckpt.exists():
+        params = load_params(str(ckpt))
+        print(f"[prompting] decoder LM weights from {ckpt}")
+    else:
+        params = init_captioner(jax.random.key(21), cfg)
+        print("[prompting] no captioner.ckpt — seeded-init decoder")
+    return tok, cfg, params
+
+
+def make_captioner_llm(assets: str):
+    """Zero-shot LLM over the IN-TREE decoder LM (the captioner's decoder
+    run text-only via models/captioner.lm_generate). With a checkpoint from
+    pipelines/train_captioner.py this is the honest offline stand-in for the
+    reference's BLOOM (src/baselines/kumar_et_al/eval_bloom.py:31-43): a
+    real (if weak, caption-trained) LM scoring real prompts — expect
+    chance-level fact-check accuracy, recorded as such in QUALITY.md."""
+    import jax
+    import numpy as np
+
+    from mmd_tpu.models.captioner import lm_generate
+
+    tok, cfg, params = load_captioner_assets(assets)
+    t_new = max(min(8, cfg.decoder.max_position // 2), 1)
+    plen = cfg.decoder.max_position - t_new
+
+    @jax.jit
+    def _gen(params, ids, mask):
+        return lm_generate(params, cfg, ids, mask, eos_id=tok.sep_id,
+                           pad_id=tok.pad_id, max_new_tokens=t_new)
+
+    def llm(prompt: str) -> str:
+        ids, _ = tok.encode(prompt, max_length=512)
+        ids = ids[-plen:]   # keep the tail: instruction + answer slot
+        off = plen - len(ids)
+        row = np.full((1, plen), tok.pad_id, np.int32)   # LEFT padded
+        mask = np.zeros((1, plen), np.int32)
+        row[0, off:] = ids
+        mask[0, off:] = 1
+        out = np.asarray(_gen(params, row, mask))[0]
+        return tok.decode(out)
+
+    return llm
+
+
+def make_llm(spec: str, assets: str = "assets/encoders"):
+    if spec == "captioner":
+        return make_captioner_llm(assets)
     if spec == "stub":
         def stub(prompt: str) -> str:
             # decisive keywords leak from the evidence into the answer —
@@ -62,6 +142,8 @@ def main():
     p.add_argument("--csv", required=True)
     p.add_argument("--llm", default="stub")
     p.add_argument("--limit", type=int, default=200)
+    p.add_argument("--assets", default="assets/encoders",
+                   help="captioner assets dir for --llm captioner")
     p.add_argument("--results_json", default="prompting_results.json")
     args = p.parse_args()
 
@@ -70,7 +152,7 @@ def main():
     cat_idx = np.array([lb.CATEGORY_TO_IDX.get(c, 2) for c in df["category"]])
     y_true = lb.SIMPLIFIED_TABLE[cat_idx].tolist()
 
-    llm = make_llm(args.llm)
+    llm = make_llm(args.llm, assets=args.assets)
     out = P.evaluate_zero_shot(llm, pairs, y_true)
     report = {k: v for k, v in out.items() if k != "predictions"}
     print(json.dumps(report, indent=1))

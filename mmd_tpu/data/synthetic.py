@@ -52,15 +52,41 @@ def synthetic_preembed_batch(
     return batch
 
 
+# Per-category signal for `learnable` trees: distinct vocabulary (text
+# signal for the classifiers) and a distinct RGB tint (image signal).
+CAT_SIGNAL_WORDS = {
+    "Support_Text": "confirmed verified corroborated accurate",
+    "Support_Multimodal": "authentic consistent matching documented",
+    "Insufficient_Text": "unclear ambiguous vague unspecified",
+    "Insufficient_Multimodal": "tangential mismatched stray unrelated",
+    "Refute": "false debunked fabricated misleading",
+}
+CAT_TINT = {
+    "Support_Text": (120, 0, 0),
+    "Support_Multimodal": (0, 120, 0),
+    "Insufficient_Text": (0, 0, 120),
+    "Insufficient_Multimodal": (90, 90, 0),
+    "Refute": (0, 90, 90),
+}
+
+
 def synthetic_factify_tree(
     root: str | os.PathLike,
     n_train: int = 20,
     n_test: int = 10,
     image_size: int = 64,
     seed: int = 0,
+    learnable: bool = False,
 ) -> Path:
     """Write a mini raw Factify tree: extracted/{train,test}.csv (TSV with
-    HEADERS) + images/{split}/{id}_{claim|evidence}.jpg. Returns root."""
+    HEADERS) + images/{split}/{id}_{claim|evidence}.jpg. Returns root.
+
+    With `learnable`, label/retrieval signal is planted so quality numbers
+    are meaningful (benchmarks/quality_suite.py): category-specific words in
+    claim AND evidence, a per-id entity token shared by claim and evidence
+    (text retrieval signal), a per-id base image shared by the claim and
+    evidence images (image retrieval signal), and a per-category tint
+    (image classification signal)."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -71,17 +97,34 @@ def synthetic_factify_tree(
         rows = []
         for i in range(1, n + 1):
             cat = lb.CATEGORIES[int(rng.integers(0, len(lb.CATEGORIES)))]
+            base = rng.integers(0, 255, (image_size, image_size, 3))
             for kind in ("claim", "evidence"):
                 # a few samples get no image to exercise skip-and-count
                 if rng.random() < 0.85:
-                    arr = rng.integers(0, 255, (image_size, image_size, 3),
-                                       dtype=np.uint8)
+                    if learnable:
+                        tint = np.asarray(CAT_TINT[cat], np.float32)
+                        noise = rng.standard_normal(base.shape) * 12.0
+                        arr = np.clip(base * 0.5 + tint + noise,
+                                      0, 255).astype(np.uint8)
+                    else:
+                        arr = rng.integers(0, 255, base.shape,
+                                           dtype=np.uint8)
                     Image.fromarray(arr).save(img_dir / f"{i}_{kind}.jpg")
+            if learnable:
+                words = CAT_SIGNAL_WORDS[cat]
+                claim_txt = (f"claim entity{split}{i} reports {words} "
+                             f"news about topic {i % 5}")
+                ev_txt = (f"evidence entity{split}{i} is {words} "
+                          f"coverage discussing topic {i % 5} in detail")
+            else:
+                claim_txt = f"claim text number {i} about topic {i % 5}"
+                ev_txt = (f"evidence document {i} discussing topic "
+                          f"{i % 5} in detail")
             rows.append([
                 str(i),
-                f"claim text number {i} about topic {i % 5}",
+                claim_txt,
                 f"http://example.com/{split}/{i}_claim.jpg",
-                f"evidence document {i} discussing topic {i % 5} in detail",
+                ev_txt,
                 f"http://example.com/{split}/{i}_evidence.jpg",
                 cat, "[]", "[]",
             ])

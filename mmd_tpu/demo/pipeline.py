@@ -98,36 +98,54 @@ class ClaimVerificationPipeline:
             return name[: -len("_evidence.jpg")]
         return None
 
-    def verify(self, claim_text: str, claim_image_path: Optional[str] = None,
-               top_k: int = 5) -> VerificationResult:
-        # Step 1-2: caption + enrich
-        caption = ""
+    # -- the demo's five steps (reference app.py:418-479), individually
+    # callable so a UI can render progress between them --------------------
+
+    def caption_step(self, claim_image_path: Optional[str]) -> str:
+        """Step 1 (reference app.py:418-422): generate the claim caption."""
         if claim_image_path and self.caption_engine is not None:
-            caption = self.caption_engine.caption_paths([claim_image_path])[0]
-        claim_enriched = f"{claim_text}. {caption}" if caption else claim_text
+            return self.caption_engine.caption_paths([claim_image_path])[0]
+        return ""
 
-        evidences: list[Evidence] = []
+    @staticmethod
+    def enrich_step(claim_text: str, caption: str) -> str:
+        """Step 2 (reference app.py:57-61,426-429): `{claim}. {caption}`."""
+        return f"{claim_text}. {caption}" if caption else claim_text
 
-        # Step 3: text retrieval
+    def retrieve_text_step(self, claim_enriched: str,
+                           top_k: int = 5) -> list[Evidence]:
+        """Step 3 (reference app.py:433-442): text2text retrieval."""
+        out: list[Evidence] = []
         if self.text_search is not None:
             for eid, score in self.text_search.search(claim_enriched, top_k):
                 row = self.index.get(eid) if self.index else None
-                evidences.append(Evidence(
+                out.append(Evidence(
                     id=eid, text=row["text"] if row else "",
                     image_path=row["image"] if row else None,
                     score=float(score), source="text"))
+        return out
 
-        # Step 4: image retrieval
+    def retrieve_image_step(self, claim_image_path: Optional[str],
+                            top_k: int = 5) -> list[Evidence]:
+        """Step 4 (reference app.py:446-455): im2im retrieval."""
+        out: list[Evidence] = []
         if claim_image_path and self.image_corpus is not None:
             for path, score in self.image_corpus.retrieve_similar_images(
                     claim_image_path, top_k):
                 eid = self.image_id_resolver(path)
                 row = self.index.get(eid) if (self.index and eid) else None
-                evidences.append(Evidence(
+                out.append(Evidence(
                     id=eid or path, text=row["text"] if row else "",
                     image_path=path, score=float(score), source="image"))
+        return out
 
-        # Step 5: classify ALL pairs in one batch
+    def classify_step(self, claim_enriched: str,
+                      claim_image_path: Optional[str],
+                      evidences: list[Evidence]) -> tuple[str, list]:
+        """Step 5 (reference app.py:459-479): classify ALL (claim, evidence)
+        pairs in one batch, then the two-stage agreement rule + majority
+        vote. Mutates the evidences' classification fields; returns
+        (final_classification, contributing_indices)."""
         if evidences:
             results = self.predictor.evaluate_batch(
                 [claim_enriched] * len(evidences),
@@ -139,9 +157,19 @@ class ClaimVerificationPipeline:
                          r["image_text"], r["image_image"])
                 e.classification_result_all = paths
                 e.classification_result_final = get_final_classification(paths)
-
-        final, contributing = determine_final_classification(
+        return determine_final_classification(
             [e.classification_result_final for e in evidences])
+
+    def verify(self, claim_text: str, claim_image_path: Optional[str] = None,
+               top_k: int = 5,
+               top_k_image: Optional[int] = None) -> VerificationResult:
+        caption = self.caption_step(claim_image_path)
+        claim_enriched = self.enrich_step(claim_text, caption)
+        evidences = self.retrieve_text_step(claim_enriched, top_k)
+        evidences += self.retrieve_image_step(
+            claim_image_path, top_k if top_k_image is None else top_k_image)
+        final, contributing = self.classify_step(
+            claim_enriched, claim_image_path, evidences)
         return VerificationResult(
             claim=claim_text, claim_enriched=claim_enriched, caption=caption,
             final_classification=final, contributing_indices=contributing,

@@ -142,3 +142,76 @@ def generate(params: dict, cfg: CaptionerConfig, images: jax.Array,
     (_, _, _), out = jax.lax.scan(
         step, (init_tokens, caches, done0), jnp.arange(t_max))
     return out.T  # (B, t_max)
+
+
+def lm_generate(params: dict, cfg: CaptionerConfig, prompt_ids: jax.Array,
+                prompt_mask: jax.Array, eos_id: int, pad_id: int = 0,
+                max_new_tokens: Optional[int] = None) -> jax.Array:
+    """Text-only causal-LM decode: the captioner's decoder runs WITHOUT
+    cross-attention (encoder_states=None skips it) as a plain left-to-right
+    LM, so the zero-shot prompting baselines (reference
+    src/baselines/kumar_et_al/eval_bloom.py:44-81) can run on in-tree
+    decoder weights.
+
+    prompt_ids/prompt_mask: (B, P) LEFT-padded (pads first, all rows end at
+    position P-1), so generation starts at one uniform position. One fused
+    prefill fills the KV caches, then a lax.scan greedy loop, exactly like
+    generate(). Returns (B, max_new_tokens) int32, pad_id after EOS."""
+    dcfg = cfg.decoder
+    b, plen = prompt_ids.shape
+    t_new = max_new_tokens or cfg.max_caption_len
+    total = plen + t_new
+    assert total <= dcfg.max_position, (total, dcfg.max_position)
+    dtype = jnp.dtype(dcfg.compute_dtype)
+    d = dcfg.hidden_size
+
+    caches = [
+        {"k": jnp.zeros((b, total, d), dtype),
+         "v": jnp.zeros((b, total, d), dtype),
+         "idx": jnp.asarray(0, jnp.int32)}
+        for _ in range(dcfg.num_layers)
+    ]
+
+    # prefill: whole prompt in one forward; mask = causal + key-padding over
+    # the (total)-sized cache (cols >= plen are unwritten -> masked out)
+    cols = jnp.arange(total)
+    causal = cols[None, :] <= jnp.arange(plen)[:, None]          # (P, total)
+    keymask = jnp.pad(prompt_mask, ((0, 0), (0, t_new)))          # (B, total)
+    pre_mask = jnp.where(causal[None, None] & (keymask[:, None, None, :] > 0),
+                         0.0, -1e9)
+    x = embed(params["decoder"]["embeddings"], dcfg, prompt_ids)
+    h = x
+    new_caches = []
+    for i, p in enumerate(params["decoder"]["layers"]):
+        h, nc = encoder_layer(p, dcfg, h, pre_mask, None, None, caches[i])
+        new_caches.append(nc)
+    first = jnp.argmax(_lm_logits(params, dcfg, h)[:, -1], axis=-1)
+    first = first.astype(jnp.int32)
+
+    def step(carry, pos):
+        tokens, caches, done = carry
+        x = embed(params["decoder"]["embeddings"], dcfg, tokens,
+                  position_offset=pos)
+        valid = ((cols <= pos) & (keymask > 0)) | ((cols >= plen) & (cols <= pos))
+        step_mask = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
+        h = x
+        ncs = []
+        for i, p in enumerate(params["decoder"]["layers"]):
+            c = dict(caches[i])
+            c["idx"] = pos
+            h, nc = encoder_layer(p, dcfg, h, step_mask, None, None, c)
+            ncs.append(nc)
+        nxt = jnp.argmax(_lm_logits(params, dcfg, h)[:, 0], axis=-1)
+        nxt = jnp.where(done, pad_id, nxt.astype(jnp.int32))
+        done = done | (nxt == eos_id)
+        return (nxt[:, None], ncs, done), nxt
+
+    done0 = first == eos_id
+    if t_new > 1:
+        (_, _, _), rest = jax.lax.scan(
+            step, (first[:, None], new_caches, done0),
+            jnp.arange(plen, total - 1))
+        out = jnp.concatenate([first[:, None], rest.T], axis=1)
+    else:
+        out = first[:, None]
+    return out  # (B, t_new)

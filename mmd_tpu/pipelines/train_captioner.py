@@ -105,6 +105,9 @@ def main():
         print(f"[train_captioner] epoch {epoch}: loss "
               f"{float(np.asarray(loss)):.4f}")
     save_params(str(Path(args.assets) / "captioner.ckpt"), params)
+    import json
+    with open(Path(args.assets) / "captioner_config.json", "w") as f:
+        json.dump(dataclasses.asdict(cfg), f)
     print(f"[train_captioner] {n_steps} steps in {time.time()-t0:.1f}s -> "
           f"{args.assets}/captioner.ckpt")
 

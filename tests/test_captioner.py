@@ -55,6 +55,75 @@ def test_kv_cached_decode_matches_naive(cap, rng):
     np.testing.assert_array_equal(fast, slow)
 
 
+def naive_lm_decode(params, cfg, prompt_ids, prompt_mask, eos, pad, t_new):
+    """Oracle for lm_generate: full-sequence re-forward each step, no cache,
+    no cross-attention (encoder_states=None)."""
+    from mmd_tpu.models.captioner import _decoder_stack, _lm_logits
+    dcfg = cfg.decoder
+    b = prompt_ids.shape[0]
+    seq = np.asarray(prompt_ids, np.int32)
+    msk = np.asarray(prompt_mask, np.int32)
+    done = np.zeros(b, bool)
+    outs = []
+    for _ in range(t_new):
+        ids = jnp.asarray(seq)
+        t = ids.shape[1]
+        x = embed(params["decoder"]["embeddings"], dcfg, ids)
+        mask = causal_mask(t) + attention_mask_from_ids(jnp.asarray(msk), t)
+        x, _ = _decoder_stack(params, dcfg, x, mask, None, None)
+        logits = np.asarray(_lm_logits(params, dcfg, x))[:, -1]
+        nxt = logits.argmax(-1).astype(np.int32)
+        nxt = np.where(done, pad, nxt)
+        done = done | (nxt == eos)
+        outs.append(nxt)
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+        msk = np.concatenate([msk, np.ones((b, 1), np.int32)], axis=1)
+    return np.stack(outs, axis=1)
+
+
+def test_lm_generate_matches_naive(cap, rng):
+    """Text-only decode (prompting baselines): KV-cached prefill+scan ==
+    full-recompute oracle, with LEFT-padded ragged prompts."""
+    from mmd_tpu.models.captioner import lm_generate
+    cfg, params = cap
+    eos, pad = 3, 0
+    plen, t_new = 6, 4
+    assert plen + t_new <= cfg.decoder.max_position
+    b = 3
+    ids = np.full((b, plen), pad, np.int32)
+    mask = np.zeros((b, plen), np.int32)
+    lens = [6, 4, 2]
+    for i, n in enumerate(lens):   # left-padded ragged prompts
+        ids[i, plen - n:] = rng.integers(4, cfg.decoder.vocab_size,
+                                         size=n)
+        mask[i, plen - n:] = 1
+    fast = np.asarray(lm_generate(params, cfg, jnp.asarray(ids),
+                                  jnp.asarray(mask), eos_id=eos, pad_id=pad,
+                                  max_new_tokens=t_new))
+    slow = naive_lm_decode(params, cfg, ids, mask, eos, pad, t_new)
+    np.testing.assert_array_equal(fast, slow)
+    assert fast.shape == (b, t_new)
+
+
+def test_captioner_llm_wrapper(tmp_path, cap):
+    """eval_prompting --llm captioner end to end on seeded weights: prompts
+    in, parseable text out, zero-shot protocol produces a report."""
+    from mmd_tpu.baselines import prompting as P
+    from mmd_tpu.baselines.eval_prompting import make_llm
+    from mmd_tpu.data.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer.train(
+        ["claim text about support", "evidence refutes the statement",
+         "not enough information to decide"], vocab_size=120)
+    tok.save(tmp_path / "tokenizer.json")
+    llm = make_llm("captioner", assets=str(tmp_path))
+    text = llm("Claim: the sky is green. Evidence: the sky is blue. Answer:")
+    assert isinstance(text, str)
+    out = P.evaluate_zero_shot(
+        llm, [("the sky is green", "the sky is blue")], [2])
+    assert set(out) >= {"accuracy", "weighted_f1"}
+
+
 def test_generate_shapes_and_eos_padding(cap, rng):
     cfg, params = cap
     images = jnp.asarray(rng.standard_normal(
