@@ -103,6 +103,71 @@ def make_captioner_llm(assets: str):
     return llm
 
 
+def make_lvlm_scorer(assets: str):
+    """`score(prompt, image_path=None) -> P(yes)` over the in-tree LVLM (the
+    captioner: image encoder + cross-attending decoder). Softmaxes only the
+    yes/no entries of the first generated token's logits — the LVLM4FV
+    verification primitive (reference LVLM4FV/models.py:60-73) — so
+    two_level_verify and llm_rerank (prompting.py) run on real in-tree
+    weights, with or without the image modality."""
+    import jax
+    import numpy as np
+
+    from mmd_tpu.baselines.prompting import yes_no_probability
+    from mmd_tpu.models.captioner import first_token_logits
+
+    tok, cfg, params = load_captioner_assets(assets)
+    plen = cfg.decoder.max_position
+
+    def _first_piece(word: str) -> int:
+        ids, _ = tok.encode(word)
+        return int(ids[1])   # [CLS] piece ... [SEP]
+
+    yes_id, no_id = _first_piece("yes"), _first_piece("no")
+
+    @jax.jit
+    def _logits_text(params, ids, mask):
+        return first_token_logits(params, cfg, ids, mask)
+
+    @jax.jit
+    def _logits_image(params, ids, mask, u8):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from mmd_tpu.ops.image_ops import TRAIN_TRANSFORM, normalize_on_device
+        tr = (TRAIN_TRANSFORM if cfg.vit.image_size == 256 else
+              dataclasses.replace(TRAIN_TRANSFORM, size=cfg.vit.image_size))
+        x = normalize_on_device(u8, tr, jnp.dtype(cfg.vit.compute_dtype))
+        return first_token_logits(params, cfg, ids, mask, images=x)
+
+    def score(prompt: str, image_path: str | None = None) -> float:
+        ids, _ = tok.encode(prompt, max_length=512)
+        ids = ids[-plen:]
+        off = plen - len(ids)
+        row = np.full((1, plen), tok.pad_id, np.int32)   # LEFT padded
+        mask = np.zeros((1, plen), np.int32)
+        row[0, off:] = ids
+        mask[0, off:] = 1
+        if image_path is not None:
+            import dataclasses
+
+            from mmd_tpu.ops.image_ops import (
+                TRAIN_TRANSFORM, load_images_parallel,
+            )
+            tr = (TRAIN_TRANSFORM if cfg.vit.image_size == 256 else
+                  dataclasses.replace(TRAIN_TRANSFORM,
+                                      size=cfg.vit.image_size))
+            imgs, _ok = load_images_parallel([image_path], tr, 1)
+            logits = np.asarray(_logits_image(params, row, mask, imgs))[0]
+        else:
+            logits = np.asarray(_logits_text(params, row, mask))[0]
+        return yes_no_probability({"yes": logits[yes_id],
+                                   "no": logits[no_id]})
+
+    return score
+
+
 def make_llm(spec: str, assets: str = "assets/encoders"):
     if spec == "captioner":
         return make_captioner_llm(assets)

@@ -144,6 +144,23 @@ def generate(params: dict, cfg: CaptionerConfig, images: jax.Array,
     return out.T  # (B, t_max)
 
 
+def first_token_logits(params: dict, cfg: CaptionerConfig,
+                       prompt_ids: jax.Array, prompt_mask: jax.Array,
+                       images: Optional[jax.Array] = None) -> jax.Array:
+    """(B, V) logits of the FIRST generated token for a left-padded prompt,
+    optionally conditioned on an image via cross-attention — the LVLM
+    yes/no-token scoring primitive (reference LVLM4FV/models.py:60-73
+    softmaxes only the yes/no entries of these logits)."""
+    dcfg = cfg.decoder
+    enc = (V.vit_forward(params["vit"], cfg.vit, images)
+           if images is not None else None)
+    plen = prompt_ids.shape[1]
+    x = embed(params["decoder"]["embeddings"], dcfg, prompt_ids)
+    mask = causal_mask(plen) + attention_mask_from_ids(prompt_mask, plen)
+    h, _ = _decoder_stack(params, dcfg, x, mask, enc, None)
+    return _lm_logits(params, dcfg, h)[:, -1]
+
+
 def lm_generate(params: dict, cfg: CaptionerConfig, prompt_ids: jax.Array,
                 prompt_mask: jax.Array, eos_id: int, pad_id: int = 0,
                 max_new_tokens: Optional[int] = None) -> jax.Array:

@@ -124,6 +124,37 @@ def test_captioner_llm_wrapper(tmp_path, cap):
     assert set(out) >= {"accuracy", "weighted_f1"}
 
 
+def test_lvlm_scorer_two_level_verify(tmp_path, rng):
+    """LVLM4FV protocol on the IN-TREE LVLM: yes/no first-token scoring
+    (text-only AND image-conditioned), two-level verification, reranking."""
+    from PIL import Image
+    from mmd_tpu.baselines import prompting as P
+    from mmd_tpu.baselines.eval_prompting import make_lvlm_scorer
+    from mmd_tpu.data.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer.train(
+        ["yes no the claim is supported", "evidence refutes everything",
+         "answer yes or no please"], vocab_size=120)
+    tok.save(tmp_path / "tokenizer.json")
+    score = make_lvlm_scorer(str(tmp_path))
+
+    p1 = score("Claim: a. Evidence: b. Answer:")
+    assert 0.0 <= p1 <= 1.0
+
+    img = tmp_path / "img.jpg"
+    Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                 dtype=np.uint8)).save(img)
+    p2 = score("Claim: a. Evidence: b. Answer:", image_path=str(img))
+    assert 0.0 <= p2 <= 1.0
+    # the image must actually condition the logits (cross-attention ran)
+    assert p1 != p2
+
+    label, votes = P.two_level_verify(score, "a claim", ["ev1", "ev2"])
+    assert label in (P.SUPPORT, P.NEI, P.REFUTE) and len(votes) == 2
+    order = P.llm_rerank(score, "a claim", ["doc a", "doc b", "doc c"])
+    assert sorted(order) == [0, 1, 2]
+
+
 def test_generate_shapes_and_eos_padding(cap, rng):
     cfg, params = cap
     images = jnp.asarray(rng.standard_normal(
