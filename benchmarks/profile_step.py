@@ -85,7 +85,7 @@ def main():
         batch = tr.shard_batch(host)
         raw = make_raw_step(cfg, tr.optimizer)
 
-        def step(c, st_params, st_opt, st_rng, batch=batch, raw=raw):
+        def step(c, st_params, st_opt, st_rng, batch, raw=raw):
             from mmd_tpu.training.trainer import TrainState
             st = TrainState(jnp.int32(c), st_params, st_opt, st_rng)
             b = dict(batch)
@@ -93,7 +93,7 @@ def main():
             st2, aux = raw(st, b)
             return aux["loss"].astype(jnp.float32)
 
-        run_case(name, step, state.params, state.opt_state, state.rng)
+        run_case(name, step, state.params, state.opt_state, state.rng, batch)
 
     # ---- forward / backward isolation (dropout 0.1, fused) --------------
     cfg = cfg_of(0.1, True)
@@ -112,31 +112,31 @@ def main():
         (a, bb), (c, d) = out
         return sum(x.sum() for x in (a, bb, c, d)).astype(jnp.float32)
 
-    def fwd_train(c, params, batch=batch):
+    def fwd_train(c, params, batch):
         b = dict(batch)
         b["claim_text_embeds"] = data_dep(b["claim_text_embeds"], c)
         return loss_of(params, b, jax.random.fold_in(key, 7), det=False)
 
-    def fwd_eval(c, params, batch=batch):
+    def fwd_eval(c, params, batch):
         b = dict(batch)
         b["claim_text_embeds"] = data_dep(b["claim_text_embeds"], c)
         return loss_of(params, b, None, det=True)
 
-    def grad_train(c, params, batch=batch):
+    def grad_train(c, params, batch):
         b = dict(batch)
         b["claim_text_embeds"] = data_dep(b["claim_text_embeds"], c)
         g = jax.grad(loss_of)(params, b, jax.random.fold_in(key, 7), False)
         return sum(x.sum() for x in jax.tree_util.tree_leaves(g)).astype(
             jnp.float32)
 
-    run_case("fwd_train", fwd_train, state.params)
-    run_case("fwd_eval", fwd_eval, state.params)
-    run_case("fwd_bwd_train", grad_train, state.params)
+    run_case("fwd_train", fwd_train, state.params, batch)
+    run_case("fwd_eval", fwd_eval, state.params, batch)
+    run_case("fwd_bwd_train", grad_train, state.params, batch)
 
     # ---- per-block forward (train mode) ----------------------------------
     dtype = jnp.bfloat16
 
-    def repr_only(c, params, batch=batch):
+    def repr_only(c, params, batch):
         b = dict(batch)
         x = data_dep(b["claim_text_embeds"], c)
         rngs = _Rngs(jax.random.fold_in(key, 7))
@@ -145,7 +145,7 @@ def main():
                                    dtype)
         return (H_t.sum() + H_i.sum()).astype(jnp.float32)
 
-    def evid_only(c, params, batch=batch):
+    def evid_only(c, params, batch):
         b = dict(batch)
         x = data_dep(b["claim_text_embeds"], c)
         rngs = _Rngs(jax.random.fold_in(key, 7))
@@ -158,8 +158,8 @@ def main():
         return sum(s.sum() for s in (S_t_t, S_t_i, S_i_t, S_i_i)).astype(
             jnp.float32)
 
-    run_case("repr_fwd_train", repr_only, state.params)
-    run_case("evid_fwd_train", evid_only, state.params)
+    run_case("repr_fwd_train", repr_only, state.params, batch)
+    run_case("evid_fwd_train", evid_only, state.params, batch)
 
     # ---- microbenches: MLP and attention at flagship shapes -------------
     from mmd_tpu.models import layers as L
@@ -167,17 +167,17 @@ def main():
     xin = jnp.asarray(rng.standard_normal((B, 512, mcfg.embed_dim)),
                       jnp.bfloat16)
 
-    def mlp_fwd(c, p, x=xin):
+    def mlp_fwd(c, p, x):
         x = data_dep(x, c)
         return L.mlp(p, x, 0.1, jax.random.fold_in(key, 3), False,
                      dtype).sum().astype(jnp.float32)
 
-    def mlp_fwd_nodrop(c, p, x=xin):
+    def mlp_fwd_nodrop(c, p, x):
         x = data_dep(x, c)
         return L.mlp(p, x, 0.0, None, True, dtype).sum().astype(jnp.float32)
 
-    run_case("mlp512_fwd_drop", mlp_fwd, mlp_p)
-    run_case("mlp512_fwd_nodrop", mlp_fwd_nodrop, mlp_p)
+    run_case("mlp512_fwd_drop", mlp_fwd, mlp_p, xin)
+    run_case("mlp512_fwd_nodrop", mlp_fwd_nodrop, mlp_p, xin)
 
     from mmd_tpu.ops.attention import multi_head_attention
     q = jnp.asarray(rng.standard_normal((B, 512, mcfg.embed_dim)), jnp.bfloat16)

@@ -29,43 +29,9 @@ from mmd_tpu.data import labels as lb
 
 
 def load_captioner_assets(assets: str):
-    """(tokenizer, cfg, params) from a train_captioner.py output dir;
-    seeded init if no checkpoint exists."""
-    import dataclasses as dc
-    import json
-    from pathlib import Path
-
-    import jax
-
-    from mmd_tpu.core.checkpoint import load_params
-    from mmd_tpu.data.tokenizer import WordPieceTokenizer
-    from mmd_tpu.models.captioner import (
-        CAPTIONER_TEST, CaptionerConfig, init_captioner,
-    )
-    from mmd_tpu.models.transformer import TransformerConfig
-    from mmd_tpu.models.vit import ViTConfig
-
-    a = Path(assets)
-    tok = WordPieceTokenizer.load(a / "tokenizer.json")
-    cfg_path = a / "captioner_config.json"
-    if cfg_path.exists():
-        d = json.loads(cfg_path.read_text())
-        cfg = CaptionerConfig(vit=ViTConfig(**d["vit"]),
-                              decoder=TransformerConfig(**d["decoder"]),
-                              max_caption_len=d["max_caption_len"])
-    else:
-        cfg = dc.replace(
-            CAPTIONER_TEST,
-            decoder=dc.replace(CAPTIONER_TEST.decoder,
-                               vocab_size=tok.vocab_size))
-    ckpt = a / "captioner.ckpt"
-    if ckpt.exists():
-        params = load_params(str(ckpt))
-        print(f"[prompting] decoder LM weights from {ckpt}")
-    else:
-        params = init_captioner(jax.random.key(21), cfg)
-        print("[prompting] no captioner.ckpt — seeded-init decoder")
-    return tok, cfg, params
+    """(tokenizer, cfg, params); see models/captioner.load_captioner_assets."""
+    from mmd_tpu.models.captioner import load_captioner_assets as _load
+    return _load(assets)
 
 
 def make_captioner_llm(assets: str):

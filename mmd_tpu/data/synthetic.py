@@ -97,18 +97,20 @@ def synthetic_factify_tree(
         rows = []
         for i in range(1, n + 1):
             cat = lb.CATEGORIES[int(rng.integers(0, len(lb.CATEGORIES)))]
-            base = rng.integers(0, 255, (image_size, image_size, 3))
+            # draw `base` only on learnable trees so the legacy RNG stream
+            # (and therefore which samples lack images) is unchanged
+            shape = (image_size, image_size, 3)
+            base = rng.integers(0, 255, shape) if learnable else None
             for kind in ("claim", "evidence"):
                 # a few samples get no image to exercise skip-and-count
                 if rng.random() < 0.85:
                     if learnable:
                         tint = np.asarray(CAT_TINT[cat], np.float32)
-                        noise = rng.standard_normal(base.shape) * 12.0
+                        noise = rng.standard_normal(shape) * 12.0
                         arr = np.clip(base * 0.5 + tint + noise,
                                       0, 255).astype(np.uint8)
                     else:
-                        arr = rng.integers(0, 255, base.shape,
-                                           dtype=np.uint8)
+                        arr = rng.integers(0, 255, shape, dtype=np.uint8)
                     Image.fromarray(arr).save(img_dir / f"{i}_{kind}.jpg")
             if learnable:
                 words = CAT_SIGNAL_WORDS[cat]

@@ -71,6 +71,17 @@ def _decoder_stack(params, dcfg, x, self_mask, enc, cross_mask, caches=None):
 
 
 def _lm_logits(params, dcfg, hidden):
+    head = params.get("lm_head")
+    if head is not None:
+        # BERT-style prediction head (BLIP text_decoder.cls.predictions:
+        # dense + gelu + LN, then an output projection with bias)
+        h = L.linear(head["transform"], hidden.astype(jnp.float32),
+                     jnp.float32)
+        h = jax.nn.gelu(h, approximate=False)
+        h = L.layernorm(head["ln"], h, dcfg.layer_norm_eps)
+        return jnp.einsum("btd,vd->btv", h,
+                          head["decoder_w"].astype(jnp.float32)
+                          ) + head["bias"].astype(jnp.float32)
     w = params["decoder"]["embeddings"]["word"]
     return jnp.einsum("btd,vd->btv", hidden.astype(jnp.float32),
                       w.astype(jnp.float32))
@@ -142,6 +153,141 @@ def generate(params: dict, cfg: CaptionerConfig, images: jax.Array,
     (_, _, _), out = jax.lax.scan(
         step, (init_tokens, caches, done0), jnp.arange(t_max))
     return out.T  # (B, t_max)
+
+
+def load_captioner_assets(assets) -> tuple:
+    """(tokenizer, cfg, params) from an assets dir holding tokenizer.json
+    and optionally captioner.ckpt + captioner_config.json (written by
+    pipelines/train_captioner.py or tools/convert_hf.py --blip). Seeded init
+    when no checkpoint exists."""
+    import dataclasses as dc
+    import json
+    from pathlib import Path
+
+    from mmd_tpu.core.checkpoint import load_params
+    from mmd_tpu.data.tokenizer import WordPieceTokenizer
+    from mmd_tpu.models.transformer import TransformerConfig
+
+    a = Path(assets)
+    tok = WordPieceTokenizer.load(a / "tokenizer.json")
+    cfg_path = a / "captioner_config.json"
+    if cfg_path.exists():
+        d = json.loads(cfg_path.read_text())
+        cfg = CaptionerConfig(vit=V.ViTConfig(**d["vit"]),
+                              decoder=TransformerConfig(**d["decoder"]),
+                              max_caption_len=d["max_caption_len"])
+    else:
+        cfg = dc.replace(
+            CAPTIONER_TEST,
+            decoder=dc.replace(CAPTIONER_TEST.decoder,
+                               vocab_size=tok.vocab_size))
+    ckpt = a / "captioner.ckpt"
+    if ckpt.exists():
+        params = load_params(str(ckpt))
+        print(f"[captioner] weights from {ckpt}")
+    else:
+        params = init_captioner(jax.random.key(21), cfg)
+        print("[captioner] no captioner.ckpt — seeded-init weights")
+    return tok, cfg, params
+
+
+def blip_config(vision_cfg: dict, text_cfg: dict) -> CaptionerConfig:
+    """CaptionerConfig mirroring a HF BlipConfig (dict forms of the vision
+    and text sub-configs)."""
+    vit = V.ViTConfig(
+        image_size=vision_cfg["image_size"],
+        patch_size=vision_cfg["patch_size"],
+        hidden_size=vision_cfg["hidden_size"],
+        num_layers=vision_cfg["num_hidden_layers"],
+        num_heads=vision_cfg["num_attention_heads"],
+        intermediate_size=vision_cfg["intermediate_size"],
+        layer_norm_eps=vision_cfg.get("layer_norm_eps", 1e-5),
+        pre_ln=True, embed_ln=False, use_cls=True, keep_cls=True,
+        compute_dtype="float32")
+    dec = TransformerConfig(
+        vocab_size=text_cfg["vocab_size"],
+        hidden_size=text_cfg["hidden_size"],
+        num_layers=text_cfg["num_hidden_layers"],
+        num_heads=text_cfg["num_attention_heads"],
+        intermediate_size=text_cfg["intermediate_size"],
+        max_position=text_cfg["max_position_embeddings"],
+        type_vocab_size=0, is_decoder=True,
+        encoder_hidden_size=vision_cfg["hidden_size"],
+        layer_norm_eps=text_cfg.get("layer_norm_eps", 1e-12),
+        compute_dtype="float32")
+    return CaptionerConfig(vit=vit, decoder=dec,
+                           max_caption_len=min(
+                               64, text_cfg["max_position_embeddings"]))
+
+
+def load_hf_blip_state_dict(state_dict: dict, cfg: CaptionerConfig) -> dict:
+    """Map a HF BlipForConditionalGeneration state_dict (numpy values) onto
+    the captioner tree, EXACTLY (parity test: tests/test_hf_parity.py).
+    Covers the reference's pretrained captioner,
+    src/preprocess/caption.py:10-31 (Salesforce/blip-image-captioning-base).
+    Vision maps via vit.load_hf_blip_vision_state_dict; the text decoder is
+    BERT-shaped with per-layer cross-attention; the LM head keeps its
+    transform+bias (params['lm_head'])."""
+    import numpy as np
+
+    def sub(prefix):
+        n = len(prefix)
+        return {k[n:]: v for k, v in state_dict.items()
+                if k.startswith(prefix)}
+
+    def get(name):
+        return np.asarray(state_dict[name])
+
+    def lin(prefix):
+        return {"w": get(f"{prefix}.weight").T.astype(np.float32),
+                "b": get(f"{prefix}.bias").astype(np.float32)}
+
+    def ln(prefix):
+        return {"scale": get(f"{prefix}.weight").astype(np.float32),
+                "bias": get(f"{prefix}.bias").astype(np.float32)}
+
+    vit_params = V.load_hf_blip_vision_state_dict(
+        sub("vision_model."), cfg.vit)
+
+    emb = "text_decoder.bert.embeddings"
+    decoder = {
+        "embeddings": {
+            "word": get(f"{emb}.word_embeddings.weight").astype(np.float32),
+            "position": get(f"{emb}.position_embeddings.weight").astype(
+                np.float32),
+            "ln": ln(f"{emb}.LayerNorm"),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.decoder.num_layers):
+        pre = f"text_decoder.bert.encoder.layer.{i}"
+        decoder["layers"].append({
+            "q": lin(f"{pre}.attention.self.query"),
+            "k": lin(f"{pre}.attention.self.key"),
+            "v": lin(f"{pre}.attention.self.value"),
+            "attn_out": lin(f"{pre}.attention.output.dense"),
+            "ln1": ln(f"{pre}.attention.output.LayerNorm"),
+            "xq": lin(f"{pre}.crossattention.self.query"),
+            "xk": lin(f"{pre}.crossattention.self.key"),
+            "xv": lin(f"{pre}.crossattention.self.value"),
+            "xattn_out": lin(f"{pre}.crossattention.output.dense"),
+            "ln_x": ln(f"{pre}.crossattention.output.LayerNorm"),
+            "ffn_in": lin(f"{pre}.intermediate.dense"),
+            "ffn_out": lin(f"{pre}.output.dense"),
+            "ln2": ln(f"{pre}.output.LayerNorm"),
+        })
+    return {
+        "vit": vit_params,
+        "decoder": decoder,
+        "lm_head": {
+            "transform": lin("text_decoder.cls.predictions.transform.dense"),
+            "ln": ln("text_decoder.cls.predictions.transform.LayerNorm"),
+            "decoder_w": get("text_decoder.cls.predictions.decoder.weight"
+                             ).astype(np.float32),
+            "bias": get("text_decoder.cls.predictions.bias").astype(
+                np.float32),
+        },
+    }
 
 
 def first_token_logits(params: dict, cfg: CaptionerConfig,

@@ -39,6 +39,9 @@ class ViTConfig:
     use_cls: bool = False          # carry a CLS token through the blocks
                                    # (HF ViT; dropped from the output so the
                                    # (num_tokens, hidden) contract holds)
+    keep_cls: bool = False         # keep CLS in the OUTPUT sequence (BLIP's
+                                   # decoder cross-attends over all vision
+                                   # tokens including CLS)
 
     @property
     def num_tokens(self) -> int:
@@ -102,7 +105,7 @@ def vit_forward(params: dict, cfg: ViTConfig, images: jax.Array) -> jax.Array:
     for p in params["layers"]:
         x, _ = encoder_layer(p, block, x)
     x = L.layernorm(params["ln_post"], x, cfg.layer_norm_eps)
-    return x[:, 1:] if cfg.use_cls else x
+    return x[:, 1:] if (cfg.use_cls and not cfg.keep_cls) else x
 
 
 def load_hf_vit_state_dict(state_dict: dict, cfg: ViTConfig) -> dict:
@@ -152,5 +155,64 @@ def load_hf_vit_state_dict(state_dict: dict, cfg: ViTConfig) -> dict:
             "ffn_in": lin(f"{pre}.intermediate.dense"),
             "ffn_out": lin(f"{pre}.output.dense"),
             "ln2": ln(f"{pre}.layernorm_after"),
+        })
+    return p
+
+
+def load_hf_blip_vision_state_dict(state_dict: dict, cfg: ViTConfig) -> dict:
+    """Map a HF BlipVisionModel state_dict (keys relative to `vision_model.`,
+    numpy values) onto our tree. BLIP vision is a pre-LN ViT with a combined
+    qkv projection and NO post-embedding LayerNorm; its decoder consumes the
+    FULL token sequence including CLS, so use a ViTConfig with use_cls=True,
+    keep_cls=True, embed_ln=False, pre_ln=True (reference
+    src/preprocess/caption.py:10-31 loads this encoder inside BLIP)."""
+    import numpy as np
+
+    def get(name):
+        return np.asarray(state_dict[name])
+
+    def ln(prefix):
+        return {"scale": get(f"{prefix}.weight").astype(np.float32),
+                "bias": get(f"{prefix}.bias").astype(np.float32)}
+
+    assert not cfg.embed_ln and cfg.use_cls and cfg.keep_cls and cfg.pre_ln
+    conv = get("embeddings.patch_embedding.weight")        # (h, 3, p, p)
+    h = conv.shape[0]
+    p = {
+        "patch_embed": {
+            "w": conv.reshape(h, -1).T.astype(np.float32),
+            "b": get("embeddings.patch_embedding.bias").astype(np.float32)},
+        "pos_embed": get("embeddings.position_embedding")[0].astype(
+            np.float32),
+        "cls_token": get("embeddings.class_embedding")[0, 0].astype(
+            np.float32),
+        "ln_pre": {"scale": np.ones(h, np.float32),
+                   "bias": np.zeros(h, np.float32)},   # unused (embed_ln=False)
+        "ln_post": ln("post_layernorm"),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        pre = f"encoder.layers.{i}"
+        qkv_w = get(f"{pre}.self_attn.qkv.weight").astype(np.float32)  # (3h, h)
+        qkv_b = get(f"{pre}.self_attn.qkv.bias").astype(np.float32)
+        qw, kw, vw = np.split(qkv_w, 3, axis=0)
+        qb, kb, vb = np.split(qkv_b, 3, axis=0)
+        p["layers"].append({
+            "q": {"w": qw.T, "b": qb},
+            "k": {"w": kw.T, "b": kb},
+            "v": {"w": vw.T, "b": vb},
+            "attn_out": {
+                "w": get(f"{pre}.self_attn.projection.weight").T.astype(
+                    np.float32),
+                "b": get(f"{pre}.self_attn.projection.bias").astype(
+                    np.float32)},
+            "ln1": ln(f"{pre}.layer_norm1"),
+            "ffn_in": {
+                "w": get(f"{pre}.mlp.fc1.weight").T.astype(np.float32),
+                "b": get(f"{pre}.mlp.fc1.bias").astype(np.float32)},
+            "ffn_out": {
+                "w": get(f"{pre}.mlp.fc2.weight").T.astype(np.float32),
+                "b": get(f"{pre}.mlp.fc2.bias").astype(np.float32)},
+            "ln2": ln(f"{pre}.layer_norm2"),
         })
     return p

@@ -56,13 +56,18 @@ class CaptionEngine:
         self.transform = TRAIN_TRANSFORM if size == 256 else \
             __import__("dataclasses").replace(TRAIN_TRANSFORM, size=size)
 
+        # BLIP starts decoding from its [DEC] token (converted checkpoints
+        # carry it in the exported vocab); otherwise [CLS] is the BOS
+        bos = getattr(tokenizer, "token_to_id", {}).get(
+            "[DEC]", tokenizer.cls_id)
+
         @jax.jit
         def _gen(params, u8):
             import jax.numpy as jnp
             x = normalize_on_device(u8, self.transform,
                                     jnp.dtype(cfg.vit.compute_dtype))
             return generate(params, self.cfg, x,
-                            bos_id=tokenizer.cls_id, eos_id=tokenizer.sep_id,
+                            bos_id=bos, eos_id=tokenizer.sep_id,
                             pad_id=tokenizer.pad_id)
         self._gen = lambda u8: _gen(self.params, u8)
 
@@ -164,13 +169,14 @@ def main():
         tok.save(tok_path)
 
     cfg = CAPTIONER_TEST if args.tiny else None
-    # trained checkpoint (pipelines/train_captioner.py) when available
+    # trained (pipelines/train_captioner.py) or converted-BLIP
+    # (tools/convert_hf.py --blip) checkpoint when available
     params = None
     ckpt = Path(args.assets) / "captioner.ckpt"
     if ckpt.exists():
-        from mmd_tpu.core.checkpoint import load_params
-        params = load_params(str(ckpt))
-        print(f"[caption] using trained captioner from {ckpt}")
+        from mmd_tpu.models.captioner import load_captioner_assets
+        tok, cfg, params = load_captioner_assets(args.assets)
+        print(f"[caption] using captioner checkpoint from {ckpt}")
     engine = CaptionEngine(tok, cfg=cfg, params=params,
                            batch_size=args.batch_size)
     for ds in args.datasets:

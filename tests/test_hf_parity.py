@@ -259,3 +259,75 @@ def test_cross_encoder_conversion_output_parity(torch, rng):
         params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
         jnp.asarray(types, jnp.int32)))
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_blip_conversion_output_parity(torch, rng):
+    """BLIP captioner conversion (vision tower + cross-attending text
+    decoder + prediction head) must reproduce HF BlipForConditionalGeneration
+    teacher-forced logits on random weights — the reference's pretrained
+    captioner (src/preprocess/caption.py:10-31)."""
+    from transformers import (
+        BlipConfig, BlipForConditionalGeneration, BlipTextConfig,
+        BlipVisionConfig,
+    )
+
+    from mmd_tpu.models.captioner import (
+        blip_config, caption_loss, load_hf_blip_state_dict,
+    )
+    from mmd_tpu.models import vit as V
+    from mmd_tpu.models.captioner import _decoder_stack, _lm_logits
+    from mmd_tpu.models.transformer import (
+        attention_mask_from_ids, causal_mask, embed,
+    )
+
+    vc = BlipVisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          intermediate_size=64, projection_dim=16,
+                          attention_dropout=0.0)
+    tc = BlipTextConfig(vocab_size=100, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=32, encoder_hidden_size=32,
+                        projection_dim=16, hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    hf = BlipForConditionalGeneration(
+        BlipConfig(text_config=tc.to_dict(), vision_config=vc.to_dict()))
+    hf.eval()
+
+    cfg = blip_config(vc.to_dict(), tc.to_dict())
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = load_hf_blip_state_dict(sd, cfg)
+
+    images = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ids = rng.integers(0, 100, (2, 10)).astype(np.int64)
+    mask = np.ones((2, 10), np.int64)
+
+    with torch.no_grad():
+        # NCHW for torch
+        pix = torch.tensor(images.transpose(0, 3, 1, 2))
+        vis = hf.vision_model(pixel_values=pix).last_hidden_state.numpy()
+        out = hf.text_decoder(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            encoder_hidden_states=hf.vision_model(
+                pixel_values=pix).last_hidden_state,
+            encoder_attention_mask=torch.ones(2, vis.shape[1],
+                                              dtype=torch.long),
+        )
+        want_logits = out.logits.numpy()
+
+    # vision tower parity (includes CLS: keep_cls=True)
+    got_vis = np.asarray(V.vit_forward(params["vit"], cfg.vit,
+                                       jnp.asarray(images)))
+    np.testing.assert_allclose(got_vis, vis, rtol=2e-4, atol=2e-5)
+
+    # teacher-forced decoder logits parity
+    dcfg = cfg.decoder
+    x = embed(params["decoder"]["embeddings"], dcfg,
+              jnp.asarray(ids, jnp.int32))
+    t = ids.shape[1]
+    self_mask = causal_mask(t) + attention_mask_from_ids(
+        jnp.asarray(mask, jnp.int32), t)
+    h, _ = _decoder_stack(params, dcfg, x, self_mask,
+                          jnp.asarray(got_vis), None)
+    got_logits = np.asarray(_lm_logits(params, dcfg, h))
+    np.testing.assert_allclose(got_logits, want_logits, rtol=2e-4, atol=2e-4)

@@ -7,6 +7,7 @@ checkpoints up automatically.
 
   python tools/convert_hf.py --text microsoft/deberta-v3-xsmall \
       --image microsoft/swinv2-base-patch4-window8-256 \
+      --blip Salesforce/blip-image-captioning-base \
       --resnet --out assets/encoders
 
 Notes:
@@ -288,6 +289,45 @@ def convert_resnet(out: Path):
     print(f"resnet50 converted -> {out}/resnet50.ckpt")
 
 
+def convert_blip(model_id: str, out: Path):
+    """Salesforce/blip-image-captioning-base -> captioner.ckpt (+ config and
+    a WordPiece tokenizer export). Output-parity-tested in
+    tests/test_hf_parity.py::test_blip_conversion_output_parity; covers the
+    reference's pretrained captioner (src/preprocess/caption.py:10-31)."""
+    import dataclasses
+    import json
+
+    from transformers import AutoProcessor, BlipForConditionalGeneration
+
+    from mmd_tpu.core.checkpoint import save_params
+    from mmd_tpu.models.captioner import blip_config, load_hf_blip_state_dict
+
+    model = BlipForConditionalGeneration.from_pretrained(model_id)
+    model.eval()
+    hf_cfg = model.config
+    cfg = blip_config(hf_cfg.vision_config.to_dict(),
+                      hf_cfg.text_config.to_dict())
+    sd = _to_numpy_state_dict(model)
+    params = load_hf_blip_state_dict(sd, cfg)
+    save_params(str(out / "captioner.ckpt"), params)
+    with open(out / "captioner_config.json", "w") as f:
+        json.dump(dataclasses.asdict(cfg), f)
+    print(f"captioner converted: {model_id} -> {out}/captioner.ckpt "
+          f"(vision {cfg.vit.num_layers}L/{cfg.vit.hidden_size}d, "
+          f"decoder {cfg.decoder.num_layers}L/{cfg.decoder.hidden_size}d)")
+    try:
+        tok = AutoProcessor.from_pretrained(model_id).tokenizer
+        vocab = [None] * len(tok.get_vocab())
+        for t, i in tok.get_vocab().items():
+            vocab[i] = t
+        from mmd_tpu.data.tokenizer import SPECIALS, WordPieceTokenizer
+        if all(s in tok.get_vocab() for s in SPECIALS):
+            WordPieceTokenizer(vocab).save(out / "tokenizer.json")
+            print(f"captioner tokenizer exported ({len(vocab)} tokens)")
+    except Exception as e:
+        print(f"captioner tokenizer export skipped: {e}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--text", type=str, default=None)
@@ -300,6 +340,8 @@ def main():
                    help="e.g. sentence-transformers/multi-qa-mpnet-base-dot-v1")
     p.add_argument("--cross_encoder", type=str, default=None,
                    help="e.g. cross-encoder/ms-marco-MiniLM-L-6-v2")
+    p.add_argument("--blip", type=str, default=None,
+                   help="e.g. Salesforce/blip-image-captioning-base")
     p.add_argument("--resnet", action="store_true")
     p.add_argument("--out", type=str, default="assets/encoders")
     args = p.parse_args()
@@ -315,6 +357,8 @@ def main():
         convert_bi_encoder(args.bi_encoder, out)
     if args.cross_encoder:
         convert_cross_encoder(args.cross_encoder, out)
+    if args.blip:
+        convert_blip(args.blip, out)
     if args.resnet:
         convert_resnet(out)
 
