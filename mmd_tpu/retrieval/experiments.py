@@ -47,19 +47,28 @@ def evaluate_topk(
 def image_retrieval_experiment(corpus, query_paths: Sequence[str],
                                ks: Sequence[int] = DEFAULT_KS,
                                out_file: str | None = None) -> dict[int, float]:
-    """corpus: ImageCorpus whose ids are paths `{...}_{id}_evidence.jpg`;
-    queries are `{id}_claim.jpg` paths."""
-    def stem_id(path: str) -> str:
-        # portable: basename without suffixes, e.g. ".../12_claim.jpg" -> "12"
+    """corpus: ImageCorpus whose ids are paths `{id}_evidence.jpg` (reference
+    per-split layout, experiment_image.py:40-54) or `{split}_{id}_evidence.jpg`
+    (flat evidence_corpus/ layout, corpus_utils.py:7-32); queries are
+    `{id}_claim.jpg` paths. The reference's hit key is `f"{id}_evidence"`
+    (experiment_image.py:52-57) — so for corpus names we keep only the LAST
+    two underscore tokens, which strips any split prefix."""
+    def query_id(path: str) -> str:
+        # ".../12_claim.jpg" -> "12"
         return Path(str(path)).name.rsplit("_", 1)[0]
+
+    def result_id(r) -> str:
+        # "test_12_evidence.jpg" or "12_evidence.jpg" -> "12_evidence"
+        parts = Path(str(r[0])).name.rsplit(".", 1)[0].split("_")
+        return "_".join(parts[-2:])
 
     def retrieve(qpath, k):
         return corpus.retrieve_similar_images(qpath, top_k=k)
 
     acc = evaluate_topk(
         query_paths, retrieve,
-        relevant_for=lambda q: stem_id(q) + "_evidence",
-        result_id=lambda r: stem_id(r[0]) + "_" + Path(r[0]).name.rsplit("_", 1)[1].split(".")[0],
+        relevant_for=lambda q: query_id(q) + "_evidence",
+        result_id=result_id,
         ks=ks,
     )
     _write_results("image_retrieval_topk_accuracy_results.txt", acc, out_file)
