@@ -129,7 +129,14 @@ def main():
 
     for b, t, s in [(16, 512, 128), (16, 512, 512)]:
         agree, drop, mdiff = mask_pattern_probe(b, t, s, seed_val=11)
-        passed = agree == 1.0 and abs(drop - RATE) < 0.01 and mdiff < 1e-3
+        # agree==1.0 is the sharp mask check (a flip breaks it exactly).
+        # max_entry_diff only cross-checks SCALE: entries are dropped
+        # attention weights <= 1/(1-rate); the fwd defers the softmax
+        # division past the bf16 PV matmul while the bwd normalizes via
+        # exp(s - lse), so their roundings differ by up to ~bf16 eps
+        # (7.8e-3 relative; measured 1.4e-3). A mask flip changes an
+        # entry by its full value (>1e-1 for surviving weights).
+        passed = agree == 1.0 and abs(drop - RATE) < 0.01 and mdiff < 5e-3
         ok &= passed
         results["checks"].append({
             "check": "mask_zero_pattern", "shape_bts": [b, t, s],
@@ -149,11 +156,14 @@ def main():
         dirg = directional_gap(8, t, s, d, h, 7 * i + 2)
         # These residuals are bounded by MXU precision, not the mask:
         # default-precision f32 dot_general truncates inputs to bf16
-        # (~4e-3 relative), and fwd/bwd matmuls round differently. A
-        # genuine mask mismatch at rate 0.1 flips ~18% of U's entries
-        # and produces O(0.4) relative gaps; the exact check is the
-        # zero-pattern probe above.
-        passed = adj < 2e-2 and dirg < 1e-1
+        # (~4e-3 relative), fwd/bwd matmuls round differently, and the
+        # fwd's deferred softmax division (o = (p @ v) / l) rounds
+        # differently from the bwd's exp(s - lse) normalization
+        # (measured up to 2.2e-2 at S=64). A genuine mask mismatch at
+        # rate 0.1 flips ~18% of U's entries and produces O(0.4)
+        # relative gaps; the exact check is the zero-pattern probe
+        # above.
+        passed = adj < 5e-2 and dirg < 1e-1
         ok &= passed
         results["checks"].append({
             "check": "adjoint+directional", "shape_btsdh": [b, t, s, d, h],
