@@ -35,7 +35,15 @@ REPO = Path(__file__).resolve().parent.parent
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--write_only", action="store_true",
+                   help="regenerate BENCHMARKS.md from benchmarks/results.json "
+                        "without re-benchmarking")
     args = p.parse_args()
+    if args.write_only:
+        out = json.loads((REPO / "benchmarks" / "results.json").read_text())
+        write_markdown(out)
+        print("BENCHMARKS.md regenerated from results.json")
+        return
     k_small, k_large = (2, 8) if args.quick else (4, 24)
 
     import jax
@@ -108,6 +116,22 @@ def main():
     print(f"text encode: {dt*1e3:.2f} ms/batch{TB} -> {TB/dt:,.0f} seq/s",
           file=sys.stderr)
 
+    # ---- 2b. DeBERTa-v3-xsmall — the reference's ACTUAL text encoder ----
+    from mmd_tpu.models import deberta as D
+    dcfg = D.DEBERTA_V3_XSMALL
+    dparams = D.init_deberta(jax.random.key(2), dcfg)
+    dids = jnp.asarray(rng.integers(0, dcfg.vocab_size, (TB, 512)), jnp.int32)
+
+    def deberta_step(c, params, ids, mask):
+        out = D.deberta_encode(params, dcfg, data_dep(ids, c), mask)
+        return jnp.mean(out).astype(jnp.float32)
+
+    dt = bench_iter_time(deberta_step, (dparams, dids, mask),
+                         k_small, k_large)
+    results["deberta_embeddings_per_sec"] = TB / dt
+    print(f"deberta encode: {dt*1e3:.2f} ms/batch{TB} -> {TB/dt:,.0f} seq/s",
+          file=sys.stderr)
+
     # ---- 3. image encoder -----------------------------------------------
     from mmd_tpu.models import vit as V
     vcfg = V.ViTConfig()
@@ -163,6 +187,12 @@ def main():
     out = {k: round(v, 1) for k, v in results.items()}
     (REPO / "benchmarks").mkdir(exist_ok=True)
     (REPO / "benchmarks" / "results.json").write_text(json.dumps(out, indent=1))
+    write_markdown(out)
+    print(json.dumps(out))
+
+
+def write_markdown(out: dict) -> None:
+    """Regenerate BENCHMARKS.md from a results dict (see --write_only)."""
     lines = [
         "# Benchmarks (TPU v5e, 1 chip)",
         "",
@@ -176,7 +206,8 @@ def main():
         "| Metric | Value | Notes |",
         "|---|---|---|",
         f"| fusion train step | {out['fusion_train_samples_per_sec']:,.0f} samples/s | fwd+bwd+AdamW, batch 256, text 512x384 / image 64x1024 |",
-        f"| text embeddings | {out['text_embeddings_per_sec']:,.0f} seq/s | 12-layer 384-d encoder, 512 tokens |",
+        f"| text embeddings | {out['text_embeddings_per_sec']:,.0f} seq/s | 12-layer 384-d BERT-class encoder, 512 tokens |",
+        f"| DeBERTa embeddings | {out['deberta_embeddings_per_sec']:,.0f} seq/s | the reference's ACTUAL encoder (v3-xsmall, disentangled attention, fused Pallas kernel), 512 tokens |",
         f"| image embeddings | {out['image_embeddings_per_sec']:,.0f} img/s | ViT 12x1024, 256px, 64 tokens |",
         f"| im2im retrieval | {out['retrieval_im2im_qps']:,.0f} QPS | cosine top-10 over 41,256 x 2048 corpus (reference: O(N) host loop per query) |",
         f"| text2text retrieval | {out['retrieval_text2text_qps']:,.0f} QPS | cosine top-10 over 42,500 x 768 corpus |",
@@ -188,10 +219,12 @@ def main():
     # (Factify-2: 35k train + 7.5k test rows, SURVEY §6)
     n_all = 42_500
     t_cap = 2 * n_all / out["caption_images_per_sec"]
-    t_et = 2 * n_all / out["text_embeddings_per_sec"]
+    # text stages projected at the DeBERTa rate — the reference's actual
+    # encoder — not the faster BERT-class substitute
+    t_et = 2 * n_all / out["deberta_embeddings_per_sec"]
     t_ei = 2 * n_all / out["image_embeddings_per_sec"]
     t_corpus = (41_256 / out["image_embeddings_per_sec"]
-                + n_all / out["text_embeddings_per_sec"])
+                + n_all / out["deberta_embeddings_per_sec"])
     t_train = 35_000 / out["fusion_train_samples_per_sec"]
     total_min = (t_cap + t_et + t_ei + t_corpus + t_train + 10) / 60
     lines += [
@@ -202,7 +235,7 @@ def main():
         "| Stage | Work | Time |",
         "|---|---|---|",
         f"| caption enrichment | 2 x 42.5k images | {t_cap:.0f} s |",
-        f"| embed text | 2 x 42.5k seqs | {t_et:.0f} s |",
+        f"| embed text (DeBERTa) | 2 x 42.5k seqs | {t_et:.0f} s |",
         f"| embed image | 2 x 42.5k imgs | {t_ei:.0f} s |",
         f"| retrieval corpora | 41,256 imgs + 42.5k texts | {t_corpus:.0f} s |",
         f"| classifier train (1 epoch) | 35k samples | {t_train:.0f} s |",
@@ -215,8 +248,38 @@ def main():
         "decode workers.)",
         "",
     ]
-    (REPO / "BENCHMARKS.md").write_text("\n".join(lines))
-    print(json.dumps(out))
+
+    # Multi-chip projection (hardware here is one chip; semantics verified
+    # on the 8-device virtual mesh instead of measured)
+    step_ms = 256_000.0 / out["fusion_train_samples_per_sec"]
+    dp8 = out["fusion_train_samples_per_sec"] * 8 * (step_ms / (step_ms + 1))
+    lines += [
+        "## Multi-chip (v5e-8 projection)",
+        "",
+        "Hardware in this environment is one chip; the DP semantics are",
+        "verified instead of measured: `tests/test_scaling.py` proves on the",
+        "8-device virtual mesh that (a) grads of the sharded global batch",
+        "equal single-device grads and (b) the 4-step weak-scaling parameter",
+        "trajectory is locked (up to the zero-gradient Adam noise floor),",
+        "and the driver's `dryrun_multichip` compiles + executes the full",
+        "sharded train step on 8 virtual devices.",
+        "",
+        "Projection for v5e-8 (all stages embarrassingly data-parallel; the",
+        "only collective in the train step is one grad all-reduce over ICI,",
+        "~17 MB of fusion params at f32 — <1 ms on 186 GB/s ICI links, vs",
+        f"the {step_ms:.0f} ms step):",
+        "",
+        "| Stage | 1 chip | v5e-8 (projected) |",
+        "|---|---|---|",
+        f"| fusion train step, global batch 2048 | "
+        f"{out['fusion_train_samples_per_sec']:,.0f} samples/s | "
+        f"~{dp8:,.0f} samples/s (1 ms all-reduce / {step_ms:.0f} ms step) |",
+        "| embed / caption / retrieval stages | rates above | ~8x (pure DP "
+        "sharding over rows, no cross-chip traffic) |",
+        f"| full pipeline, 1 epoch | ~{total_min:.1f} min | "
+        f"**~{total_min * 60 / 8 + 5:.0f} s** |",
+    ]
+    (REPO / "BENCHMARKS.md").write_text("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
