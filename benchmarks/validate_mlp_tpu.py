@@ -20,6 +20,10 @@ the evidence (benchmarks/MLP_TPU_VALIDATION.json):
      input-dependent noise swamps an eps=1e-3 directional difference.)
   4. throughput of the fused vs plain (unfused XLA) path at flagship shape.
 
+  5. elementwise dropout kernel (ops/dropout.py) — self-extracting masks:
+     y/x recovers the forward's mask*scale values and a ones-cotangent VJP
+     IS the backward's mask*scale; both patterns must agree entrywise.
+
 Run: python benchmarks/validate_mlp_tpu.py
 """
 
@@ -244,6 +248,33 @@ def main():
     results["plain_mlp_fwd_bwd_drop_ms"] = round(dt_plain * 1e3, 3)
     print(f"[mlp-val] fwd+bwd dropout: fused {dt*1e3:.3f} ms vs plain "
           f"{dt_plain*1e3:.3f} ms")
+
+    # 5. elementwise dropout kernel: self-extracting mask check. x has no
+    # zeros, so m_fwd = y / x recovers mask*scale (0 or 1/(1-rate), up to
+    # one f32 multiply rounding); vjp with a ones cotangent returns
+    # EXACTLY the backward's mask*scale. Patterns and values must agree.
+    from mmd_tpu.ops.dropout import fused_dropout
+    key = jax.random.key(42)
+    xe = jax.random.uniform(jax.random.key(5), (768, 256), jnp.float32,
+                            minval=1.0, maxval=2.0)
+    y = np.asarray(jax.jit(lambda x_: fused_dropout(x_, RATE, key))(xe),
+                   np.float64)
+    dx = np.asarray(jax.jit(lambda x_, g: jax.vjp(
+        lambda q: fused_dropout(q, RATE, key), x_)[1](g)[0])(
+        xe, jnp.ones_like(xe)), np.float64)
+    m_fwd = y / np.asarray(xe, np.float64)
+    inv = 1.0 / (1.0 - RATE)
+    agree = float(((m_fwd > 0.5 * inv) == (dx > 0.5 * inv)).mean())
+    keep_rate = float((dx > 0.5 * inv).mean())
+    maxdiff = float(np.abs(m_fwd - dx).max())
+    results["elemwise_dropout"] = {"pattern_agreement": agree,
+                                   "keep_rate": keep_rate,
+                                   "max_mask_value_diff": maxdiff}
+    print(f"[mlp-val] elemwise dropout: pattern agree={agree:.6f} "
+          f"keep={keep_rate:.4f} maxdiff={maxdiff:.2e}")
+    assert agree == 1.0 and abs(keep_rate - (1 - RATE)) < 0.01, \
+        results["elemwise_dropout"]
+    assert maxdiff < 1e-5, maxdiff   # one f32 multiply rounding only
 
     OUT.write_text(json.dumps(results, indent=1))
     print(f"[mlp-val] all checks passed -> {OUT}")

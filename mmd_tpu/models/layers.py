@@ -71,6 +71,11 @@ def dropout(
         return x
     if rng is None:
         raise ValueError("dropout requires an rng when non-deterministic")
+    from mmd_tpu.ops.dropout import fused_dropout, use_fused
+    if use_fused(x, rate, deterministic):
+        # TPU: in-kernel PRNG mask, regenerated bit-exactly in the backward
+        # (ops/dropout.py) — nothing mask-sized touches HBM in either pass.
+        return fused_dropout(x, rate, rng)
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     # Multiplicative-mask form (identical values to where(keep, x/q, 0)):
     # the backward is one multiply by the saved mask instead of a PRNG

@@ -58,6 +58,24 @@ def test_fused_mlp_matches_plain_grads(setup):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_fused_dropout_gate_off_tpu(setup):
+    """ops/dropout.use_fused must stay False off-TPU so the NumPy-oracle
+    paths keep the jax.random.bernoulli masks; the kernel itself is
+    hardware-validated (benchmarks/validate_mlp_tpu.py check 5)."""
+    from mmd_tpu.ops.dropout import use_fused
+    p, x, d, f = setup
+    assert jax.default_backend() != "tpu"
+    assert not use_fused(x, 0.1, deterministic=False)
+    assert not use_fused(x, 0.0, deterministic=False)   # rate gate
+    # dropout through layers keeps working and preserves scale on average
+    y = L.dropout(x, 0.5, jax.random.key(7), deterministic=False)
+    assert y.shape == x.shape
+    kept = np.asarray(y) != 0
+    np.testing.assert_allclose(kept.mean(), 0.5, atol=0.05)
+    np.testing.assert_allclose(np.asarray(y)[kept],
+                               np.asarray(x)[kept] * 2.0, rtol=1e-6)
+
+
 def test_layers_mlp_unchanged_off_tpu(setup):
     """L.mlp must keep the plain path on CPU (fused path is TPU-gated)."""
     p, x, d, f = setup
