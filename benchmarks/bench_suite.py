@@ -206,6 +206,9 @@ def write_markdown(out: dict) -> None:
         "| Metric | Value | Notes |",
         "|---|---|---|",
         f"| fusion train step | {out['fusion_train_samples_per_sec']:,.0f} samples/s | fwd+bwd+AdamW, batch 256, text 512x384 / image 64x1024 |",
+    ] + ([
+        f"| raw-path train step | {out['raw_train_samples_per_sec']:,.0f} samples/s | encoders IN the step: DeBERTa x2 + ViT x2 + fusion fwd+bwd+AdamW, batch {out.get('raw_train_batch', 64):.0f} (benchmarks/bench_raw.py) |",
+    ] if "raw_train_samples_per_sec" in out else []) + [
         f"| text embeddings | {out['text_embeddings_per_sec']:,.0f} seq/s | 12-layer 384-d BERT-class encoder, 512 tokens |",
         f"| DeBERTa embeddings | {out['deberta_embeddings_per_sec']:,.0f} seq/s | the reference's ACTUAL encoder (v3-xsmall, disentangled attention, fused Pallas kernel), 512 tokens |",
         f"| image embeddings | {out['image_embeddings_per_sec']:,.0f} img/s | ViT 12x1024, 256px, 64 tokens |",
