@@ -139,10 +139,13 @@ def embed(params: dict, cfg: TransformerConfig, input_ids: jax.Array,
     return e.astype(jnp.dtype(cfg.compute_dtype))
 
 
-def _masked_attention(q, k, v, num_heads, mask, fused):
-    """mask: (B, 1, Tq, Tk) additive (-inf for masked) or None."""
+def _masked_attention(q, k, v, num_heads, mask, fused, key_mask=None):
+    """mask: (B, 1, Tq, Tk) additive (-inf for masked) or None. key_mask:
+    (B, Tk) {0,1} pure key-padding — stays on the fused kernel path (the
+    kernel applies it in-VMEM); only causal/bias masks need the 4D slot."""
     if mask is None:
-        return multi_head_attention(q, k, v, num_heads, fused=fused)
+        return multi_head_attention(q, k, v, num_heads, fused=fused,
+                                    key_mask=key_mask)
     # Additive-mask path stays in jnp (fused kernel handles the unmasked
     # fast path; padded batches use this).
     b, t, d = q.shape
@@ -164,7 +167,9 @@ def encoder_layer(p: dict, cfg: TransformerConfig, x: jax.Array,
                   attn_mask: Optional[jax.Array] = None,
                   encoder_states: Optional[jax.Array] = None,
                   cross_mask: Optional[jax.Array] = None,
-                  cache: Optional[dict] = None):
+                  cache: Optional[dict] = None,
+                  key_mask: Optional[jax.Array] = None,
+                  cross_key_mask: Optional[jax.Array] = None):
     """Transformer block, post-LN (BERT) or pre-LN (ViT). Returns
     (x, new_cache)."""
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -175,7 +180,7 @@ def encoder_layer(p: dict, cfg: TransformerConfig, x: jax.Array,
         k = L.linear(p["k"], h, dtype)
         v = L.linear(p["v"], h, dtype)
         ctx = _masked_attention(q, k, v, cfg.num_heads, attn_mask,
-                                cfg.fused_attn)
+                                cfg.fused_attn, key_mask=key_mask)
         x = x + L.linear(p["attn_out"], ctx, dtype)
         h = L.layernorm(p["ln2"], x, cfg.layer_norm_eps)
         h = L.linear(p["ffn_in"], h, dtype)
@@ -193,7 +198,8 @@ def encoder_layer(p: dict, cfg: TransformerConfig, x: jax.Array,
         cv = jax.lax.dynamic_update_slice(cache["v"], v, (0, idx, 0))
         k, v = ck, cv
         new_cache = {"k": ck, "v": cv, "idx": idx + x.shape[1]}
-    ctx = _masked_attention(q, k, v, cfg.num_heads, attn_mask, cfg.fused_attn)
+    ctx = _masked_attention(q, k, v, cfg.num_heads, attn_mask,
+                            cfg.fused_attn, key_mask=key_mask)
     x = L.layernorm(p["ln1"], x + L.linear(p["attn_out"], ctx, dtype),
                     cfg.layer_norm_eps)
     if cfg.is_decoder and encoder_states is not None:
@@ -201,7 +207,7 @@ def encoder_layer(p: dict, cfg: TransformerConfig, x: jax.Array,
         xk = L.linear(p["xk"], encoder_states, dtype)
         xv = L.linear(p["xv"], encoder_states, dtype)
         xctx = _masked_attention(xq, xk, xv, cfg.num_heads, cross_mask,
-                                 cfg.fused_attn)
+                                 cfg.fused_attn, key_mask=cross_key_mask)
         x = L.layernorm(p["ln_x"], x + L.linear(p["xattn_out"], xctx, dtype),
                         cfg.layer_norm_eps)
     h = L.linear(p["ffn_in"], x, dtype)
@@ -268,8 +274,12 @@ def transformer_forward(
     """Full-sequence forward -> last_hidden_state (B, T, D)."""
     x = embed(params["embeddings"], cfg, input_ids, token_type_ids)
     t = x.shape[1]
-    mask = None
-    if attention_mask is not None:
+    mask, key_mask = None, None
+    if (attention_mask is not None and not causal
+            and not cfg.relative_bias_buckets):
+        # pure key-padding stays on the fused kernel path (in-kernel bias)
+        key_mask = attention_mask
+    elif attention_mask is not None:
         mask = attention_mask_from_ids(attention_mask, t)
     if causal:
         cm = causal_mask(t)
@@ -279,9 +289,7 @@ def transformer_forward(
         # (B,1,T,T)); layers with a bias always take the jnp masked path
         bias = mpnet_position_bias(params, cfg, t)
         mask = bias if mask is None else mask + bias
-    cross = None
-    if encoder_states is not None and encoder_mask is not None:
-        cross = attention_mask_from_ids(encoder_mask, t)
     for p in params["layers"]:
-        x, _ = encoder_layer(p, cfg, x, mask, encoder_states, cross)
+        x, _ = encoder_layer(p, cfg, x, mask, encoder_states, None,
+                             key_mask=key_mask, cross_key_mask=encoder_mask)
     return x

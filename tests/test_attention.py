@@ -100,3 +100,53 @@ def test_attention_dropout_statistics(rng):
     mean = np.mean(np.stack([np.asarray(o) for o in outs]), axis=0)
     # v = ones -> every output entry is ~1; dropout keeps the mean near 1.
     np.testing.assert_allclose(mean, np.asarray(det), rtol=0.15, atol=0.15)
+
+
+def test_fused_key_mask_matches_additive_jnp(rng):
+    """Fused kernel's in-kernel key-padding bias == the jnp additive-mask
+    path (fwd + grads), including a fully 128-aligned S (packed-head
+    route) and a ragged valid-length per row."""
+    b, t, s, d, h = 4, 64, 128, 256, 8
+    q = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    co = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    valid = np.array([s, s - 17, s // 2, 3])
+    key_mask = jnp.asarray(
+        np.arange(s)[None, :] < valid[:, None], jnp.int32)
+
+    def loss(fused):
+        return lambda q_, k_, v_: jnp.sum(multi_head_attention(
+            q_, k_, v_, h, fused=fused, key_mask=key_mask) * co)
+
+    of = multi_head_attention(q, k, v, h, fused=True, key_mask=key_mask)
+    oj = multi_head_attention(q, k, v, h, fused=False, key_mask=key_mask)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(oj),
+                               rtol=2e-5, atol=2e-5)
+    gf = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    gj = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+    # masked keys receive zero gradient
+    np.testing.assert_allclose(np.asarray(gf[1][3, 3:]), 0.0, atol=1e-6)
+
+
+def test_transformer_key_mask_routes_fused(rng):
+    """transformer_forward with a pure padding mask must produce the same
+    values whether attention runs fused (key_mask kernel path) or jnp."""
+    import dataclasses
+    from mmd_tpu.models.transformer import (
+        TransformerConfig, init_transformer, transformer_forward,
+    )
+    cfg = TransformerConfig(vocab_size=130, hidden_size=64, num_layers=2,
+                            num_heads=2, intermediate_size=128,
+                            max_position=64, compute_dtype="float32")
+    params = init_transformer(jax.random.key(0), cfg)
+    ids = jnp.asarray(rng.integers(0, 130, (2, 16)), jnp.int32)
+    mask = jnp.asarray([[1] * 16, [1] * 9 + [0] * 7], jnp.int32)
+    yf = transformer_forward(params, cfg, ids, attention_mask=mask)
+    yj = transformer_forward(params, dataclasses.replace(cfg, fused_attn=False),
+                             ids, attention_mask=mask)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yj),
+                               rtol=5e-5, atol=5e-5)
