@@ -160,7 +160,15 @@ def _rel_shift(expf: jax.Array, t: int, s: int) -> jax.Array:
 
 def _deberta_attn_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
                          o_ref, *, num_heads: int, scale: float):
-    """Blocks: q/k/v/o (GB, T, D); pk/pq (2T, D); mask (GB, 1, T) int32."""
+    """Blocks: q/k/v/o (GB, T, D); pk/pq (2T, D); mask (GB, 1, T) int32.
+
+    Heads run in MXU-packed groups of g = 128//dh against block-diagonal
+    operands (same trick as ops/attention._pack_blockdiag: output
+    columns/rows of a block-diagonal operand never mix heads, so one
+    full-contraction matmul computes the whole group's content, c2p, p2c,
+    and PV terms at full MXU width instead of dh/128 of it). The strided
+    diagonal roll and the softmax run per T/2T segment — Mosaic's roll and
+    the 1-sublane mask broadcast both operate within one head's lanes."""
     from jax.experimental.pallas import tpu as pltpu
 
     q = q_ref[:]
@@ -168,29 +176,55 @@ def _deberta_attn_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
     v = v_ref[:]
     gb, t, d = q.shape
     dh = d // num_heads
+    g = 128 // dh if (dh < 128 and 128 % dh == 0 and t % 128 == 0) else 1
     neg = jnp.finfo(jnp.float32).min
     key_ok = mask_ref[:] > 0                               # (GB, 1, T)
-    for h in range(num_heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        qh, kh, vh = q[:, :, sl], k[:, :, sl], v[:, :, sl]
-        s = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # (GB, T, T)
-        c2p = jax.lax.dot_general(
-            qh, pk_ref[:, sl], (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (GB, T, 2T)
-        c2p = pltpu.roll(c2p, shift=t + 1, axis=2, stride=1, stride_axis=1)
-        p2c = jax.lax.dot_general(
-            kh, pq_ref[:, sl], (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # rows=s, cols=j
-        p2c = pltpu.roll(p2c, shift=t + 1, axis=2, stride=1, stride_axis=1)
-        s = s + c2p[:, :, :t] + jnp.swapaxes(p2c[:, :, :t], 1, 2)
-        s = jnp.where(key_ok, s * scale, neg)
-        w = jax.nn.softmax(s, axis=-1)
+
+    def pack3(x, h0):
+        # (GB, S, D) -> (GB, g*S, g*dh) head-diagonal blocks
+        return jnp.concatenate(
+            [jnp.pad(x[:, :, (h0 + j) * dh:(h0 + j + 1) * dh],
+                     ((0, 0), (0, 0), (j * dh, (g - 1 - j) * dh)))
+             for j in range(g)], axis=1)
+
+    def pack2(tab, h0):
+        # (2T, D) table -> (g*2T, g*dh)
+        return jnp.concatenate(
+            [jnp.pad(tab[:, (h0 + j) * dh:(h0 + j + 1) * dh],
+                     ((0, 0), (j * dh, (g - 1 - j) * dh)))
+             for j in range(g)], axis=0)
+
+    for h0 in range(0, num_heads, g):
+        cols = slice(h0 * dh, (h0 + g) * dh)
+        qg = q[:, :, cols]                                 # (GB, T, gdh)
+        kp = pack3(k, h0)                                  # (GB, gT, gdh)
+        s_all = jax.lax.dot_general(
+            qg, kp, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (GB, T, gT)
+        c2p_all = jax.lax.dot_general(
+            qg, pack2(pk_ref[:], h0), (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (GB, T, g*2T)
+        kg = k[:, :, cols]
+        p2c_all = jax.lax.dot_general(
+            kg, pack2(pq_ref[:], h0), (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (GB, T, g*2T)
+        ws = []
+        for j in range(g):
+            c2p = pltpu.roll(c2p_all[:, :, j * 2 * t:(j + 1) * 2 * t],
+                             shift=t + 1, axis=2, stride=1, stride_axis=1)
+            p2c = pltpu.roll(p2c_all[:, :, j * 2 * t:(j + 1) * 2 * t],
+                             shift=t + 1, axis=2, stride=1, stride_axis=1)
+            s = (s_all[:, :, j * t:(j + 1) * t] + c2p[:, :, :t]
+                 + jnp.swapaxes(p2c[:, :, :t], 1, 2))
+            s = jnp.where(key_ok, s * scale, neg)
+            ws.append(jax.nn.softmax(s, axis=-1))
+        w_all = (jnp.concatenate(ws, axis=-1) if g > 1
+                 else ws[0])                               # (GB, T, gT)
+        vp = pack3(v, h0)
         ctx = jax.lax.dot_general(
-            w.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        o_ref[:, :, sl] = ctx.astype(o_ref.dtype)
+            w_all.astype(v.dtype), vp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (GB, T, gdh)
+        o_ref[:, :, cols] = ctx.astype(o_ref.dtype)
 
 
 def _deberta_attn_fused(q, k, v, pos_k_d, pos_q_d, mask, num_heads: int,
