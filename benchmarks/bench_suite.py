@@ -184,9 +184,13 @@ def main():
           f"{CB*32/dt:,.0f} tok/s, {CB/dt:,.0f} img/s", file=sys.stderr)
 
     # ---- write ------------------------------------------------------------
-    out = {k: round(v, 1) for k, v in results.items()}
+    # merge-preserve rows this run didn't measure (e.g. bench_raw.py's
+    # raw_train_samples_per_sec)
     (REPO / "benchmarks").mkdir(exist_ok=True)
-    (REPO / "benchmarks" / "results.json").write_text(json.dumps(out, indent=1))
+    rj = REPO / "benchmarks" / "results.json"
+    prev = json.loads(rj.read_text()) if rj.exists() else {}
+    out = {**prev, **{k: round(v, 1) for k, v in results.items()}}
+    rj.write_text(json.dumps(out, indent=1))
     write_markdown(out)
     print(json.dumps(out))
 
