@@ -177,6 +177,8 @@ def _deberta_attn_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
     gb, t, d = q.shape
     dh = d // num_heads
     g = 128 // dh if (dh < 128 and 128 % dh == 0 and t % 128 == 0) else 1
+    while g > 1 and num_heads % g != 0:
+        g //= 2   # a partial trailing group would slice past D
     neg = jnp.finfo(jnp.float32).min
     key_ok = mask_ref[:] > 0                               # (GB, 1, T)
 

@@ -150,3 +150,22 @@ def test_transformer_key_mask_routes_fused(rng):
                              ids, attention_mask=mask)
     np.testing.assert_allclose(np.asarray(yf), np.asarray(yj),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_fused_head_count_not_divisible_by_group(rng):
+    """num_heads=6 with dh=32 would pack g=4 and slice past D with a
+    ragged trailing group (the quality-suite crash); _group_size must
+    shrink g to divide the head count."""
+    from mmd_tpu.ops.attention import _group_size
+    assert _group_size(32, 512, 8) == 4
+    assert _group_size(32, 512, 6) == 2
+    assert _group_size(32, 512, 3) == 1
+    assert _group_size(64, 512, 6) == 2
+    b, t, d, h = 2, 128, 192, 6   # dh=32, 6 % 4 != 0
+    q = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    of = multi_head_attention(q, k, v, h, fused=True)
+    oj = multi_head_attention(q, k, v, h, fused=False)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(oj),
+                               rtol=2e-5, atol=2e-5)
