@@ -50,7 +50,8 @@ def main():
 
     rng = np.random.default_rng(0)
     RB = args.batch
-    dcfg = D.DEBERTA_V3_XSMALL
+    import dataclasses as _dc
+    dcfg = _dc.replace(D.DEBERTA_V3_XSMALL, compute_dtype="bfloat16")
     vcfg = V.ViTConfig()
     enc = FrozenEncoders(
         tokenizer=None, text_cfg=dcfg,

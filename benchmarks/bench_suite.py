@@ -118,7 +118,10 @@ def main():
 
     # ---- 2b. DeBERTa-v3-xsmall — the reference's ACTUAL text encoder ----
     from mmd_tpu.models import deberta as D
-    dcfg = D.DEBERTA_V3_XSMALL
+    import dataclasses as _dc
+    # bf16 like every other serving-path encoder (the fusion model consumes
+    # bf16 embeddings; DebertaConfig's f32 default is the HF-parity setting)
+    dcfg = _dc.replace(D.DEBERTA_V3_XSMALL, compute_dtype="bfloat16")
     dparams = D.init_deberta(jax.random.key(2), dcfg)
     dids = jnp.asarray(rng.integers(0, dcfg.vocab_size, (TB, 512)), jnp.int32)
 

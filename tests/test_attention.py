@@ -152,6 +152,36 @@ def test_transformer_key_mask_routes_fused(rng):
                                rtol=5e-5, atol=5e-5)
 
 
+def test_fused_unaligned_s_pads_to_packed_path(rng):
+    """S off the 128 boundary is padded with -1e9-biased keys inside
+    multi_head_attention so head-packing engages; values and grads must
+    match the jnp path, including combined with a ragged key_mask."""
+    b, t, s, d, h = 2, 64, 80, 256, 8    # s=80 -> padded to 128, g=4
+    q = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    co = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    key_mask = jnp.asarray(
+        np.arange(s)[None, :] < np.array([s, 37])[:, None], jnp.int32)
+
+    for km in (None, key_mask):
+        of = multi_head_attention(q, k, v, h, fused=True, key_mask=km)
+        oj = multi_head_attention(q, k, v, h, fused=False, key_mask=km)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(oj),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(fused):
+            return lambda q_, k_, v_: jnp.sum(multi_head_attention(
+                q_, k_, v_, h, fused=fused, key_mask=km) * co)
+
+        gf = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+        gj = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gj):
+            assert a.shape == b_.shape  # padding sliced back off the grads
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4)
+
+
 def test_fused_head_count_not_divisible_by_group(rng):
     """num_heads=6 with dh=32 would pack g=4 and slice past D with a
     ragged trailing group (the quality-suite crash); _group_size must
