@@ -142,12 +142,14 @@ def _representation(
     """Multi-view claim representation. Returns (H_t, H_i) (either may be None)."""
     if X_t is not None:
         X_t = L.linear(p["text_proj"], X_t, dtype)
-        tQ, tK, tV = L.linear_fused(
-            [p["text_WQ"], p["text_WK"], p["text_WV"]], X_t, dtype)
+        tQ = L.linear(p["text_WQ"], X_t, dtype)
+        tK = L.linear(p["text_WK"], X_t, dtype)
+        tV = L.linear(p["text_WV"], X_t, dtype)
     if X_i is not None:
         X_i = L.linear(p["image_proj"], X_i, dtype)
-        iQ, iK, iV = L.linear_fused(
-            [p["image_WQ"], p["image_WK"], p["image_WV"]], X_i, dtype)
+        iQ = L.linear(p["image_WQ"], X_i, dtype)
+        iK = L.linear(p["image_WK"], X_i, dtype)
+        iV = L.linear(p["image_WV"], X_i, dtype)
 
     def _mlp(name, x):
         return L.mlp(p[name], x, cfg.dropout, rngs(), deterministic, dtype)
@@ -197,12 +199,10 @@ def _evidence_conditioning(
     """4-path evidence conditioning. Returns ((S_t_t, S_t_i), (S_i_t, S_i_i))."""
     tQ = L.linear(p["text_WQ"], H_t, dtype) if H_t is not None else None
     iQ = L.linear(p["image_WQ"], H_i, dtype) if H_i is not None else None
-    etK, etV = L.linear_fused(
-        [p["text_evidence_key"], p["text_evidence_value"]], E_t, dtype) \
-        if E_t is not None else (None, None)
-    eiK, eiV = L.linear_fused(
-        [p["image_evidence_key"], p["image_evidence_value"]], E_i, dtype) \
-        if E_i is not None else (None, None)
+    etK = L.linear(p["text_evidence_key"], E_t, dtype) if E_t is not None else None
+    etV = L.linear(p["text_evidence_value"], E_t, dtype) if E_t is not None else None
+    eiK = L.linear(p["image_evidence_key"], E_i, dtype) if E_i is not None else None
+    eiV = L.linear(p["image_evidence_value"], E_i, dtype) if E_i is not None else None
 
     def path(H, Q, K, V, name, mlp_name):
         s = _attn(cfg, Q, K, V, p[f"{name}_out"], rngs, deterministic, dtype)

@@ -43,31 +43,6 @@ def linear(params: dict, x: jax.Array, dtype: jnp.dtype = jnp.float32) -> jax.Ar
     return (y + params["b"].astype(jnp.float32)).astype(dtype)
 
 
-def linear_fused(param_list: list, x: jax.Array,
-                 dtype: jnp.dtype = jnp.float32) -> list:
-    """Several same-input projections as ONE GEMM (e.g. Q/K/V, the
-    reference's separate nn.Linear calls in model.py:33-45).
-
-    Kernels are concatenated along the output axis at apply time, so the
-    param tree (and every checkpoint) is unchanged while x — the dominant
-    HBM traffic for (B*T, D) activations against small (D, D) weights — is
-    read once instead of len(param_list) times, in the forward and again
-    in each of the backward's dW GEMMs. Output columns of a GEMM are
-    independent, so results are bit-identical to per-projection `linear`.
-    """
-    w = jnp.concatenate([p["w"] for p in param_list], axis=1)
-    b = jnp.concatenate([p["b"] for p in param_list])
-    y = jnp.dot(x.astype(dtype), w.astype(dtype),
-                preferred_element_type=jnp.float32)
-    y = (y + b.astype(jnp.float32)).astype(dtype)
-    offs, outs = 0, []
-    for p in param_list:
-        o = p["w"].shape[1]
-        outs.append(jax.lax.slice_in_dim(y, offs, offs + o, axis=-1))
-        offs += o
-    return outs
-
-
 # -- LayerNorm ----------------------------------------------------------------
 
 def layernorm_init(dim: int) -> dict:

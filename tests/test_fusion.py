@@ -144,39 +144,6 @@ def test_multimodal_golden_parity(rng):
         np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
 
 
-def test_linear_fused_matches_separate(rng):
-    """linear_fused (one GEMM for same-input projections) must match
-    per-projection linear in values AND grads — output columns of a GEMM
-    are independent (tolerance only for backend-specific contraction
-    blocking)."""
-    from mmd_tpu.models import layers as L
-    keys = jax.random.split(jax.random.key(7), 3)
-    ps = [L.linear_init(k, 24, o) for k, o in zip(keys, (16, 16, 8))]
-    x = jnp.asarray(rng.standard_normal((4, 10, 24)), jnp.float32)
-
-    fused = L.linear_fused(ps, x, jnp.float32)
-    sep = [L.linear(p, x, jnp.float32) for p in ps]
-    for f, s in zip(fused, sep):
-        np.testing.assert_allclose(np.asarray(f), np.asarray(s),
-                                   rtol=1e-6, atol=1e-6)
-
-    co = [jnp.asarray(rng.standard_normal(s.shape), jnp.float32) for s in sep]
-
-    def loss_fused(ps_, x_):
-        return sum(jnp.vdot(y, c) for y, c in
-                   zip(L.linear_fused(ps_, x_, jnp.float32), co))
-
-    def loss_sep(ps_, x_):
-        return sum(jnp.vdot(L.linear(p, x_, jnp.float32), c)
-                   for p, c in zip(ps_, co))
-
-    gf = jax.grad(loss_fused, argnums=(0, 1))(ps, x)
-    gs = jax.grad(loss_sep, argnums=(0, 1))(ps, x)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6), gf, gs)
-
-
 def test_factify_golden_parity(rng):
     cfg = _cfg(factify=True, num_classes=5)
     model = MisinformationDetectionModel(cfg)
