@@ -210,7 +210,7 @@ def _deberta_attn_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
         p2c_all = jax.lax.dot_general(
             kg, pack2(pq_ref[:], h0), (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # (GB, T, g*2T)
-        ws = []
+        ws, linvs = [], []
         for j in range(g):
             c2p = pltpu.roll(c2p_all[:, :, j * 2 * t:(j + 1) * 2 * t],
                              shift=t + 1, axis=2, stride=1, stride_axis=1)
@@ -219,14 +219,23 @@ def _deberta_attn_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
             s = (s_all[:, :, j * t:(j + 1) * t] + c2p[:, :, :t]
                  + jnp.swapaxes(p2c[:, :, :t], 1, 2))
             s = jnp.where(key_ok, s * scale, neg)
-            ws.append(jax.nn.softmax(s, axis=-1))
+            # unnormalized exp with the division DEFERRED to the (T, gdh)
+            # context — (w @ v) / l == (w / l) @ v, one (T, T) pass cheaper
+            # per head (same trick as ops/attention._fwd_kernel)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            linvs.append(1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            ws.append(e)
         w_all = (jnp.concatenate(ws, axis=-1) if g > 1
                  else ws[0])                               # (GB, T, gT)
         vp = pack3(v, h0)
         ctx = jax.lax.dot_general(
             w_all.astype(v.dtype), vp, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)            # (GB, T, gdh)
-        o_ref[:, :, cols] = ctx.astype(o_ref.dtype)
+        linv = jnp.concatenate(
+            [jnp.broadcast_to(linvs[j], (gb, t, dh)) for j in range(g)],
+            axis=-1)                                       # (GB, T, gdh)
+        o_ref[:, :, cols] = (ctx * linv).astype(o_ref.dtype)
 
 
 def _deberta_attn_fused(q, k, v, pos_k_d, pos_q_d, mask, num_heads: int,
