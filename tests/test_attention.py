@@ -199,3 +199,27 @@ def test_fused_head_count_not_divisible_by_group(rng):
     oj = multi_head_attention(q, k, v, h, fused=False)
     np.testing.assert_allclose(np.asarray(of), np.asarray(oj),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_fully_masked_row_is_finite(rng):
+    """A query row whose key_mask is all zero must yield finite output
+    (zeros) and finite grads: the masked forward takes its shared max on
+    the RAW scores, so every key underflows to exactly 0 and l == 0 —
+    the 1/max(l, tiny) guard keeps 0 * inf out of the kernel."""
+    b, t, s, d, h = 2, 128, 128, 128, 4
+    q = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    key_mask = jnp.asarray(
+        np.broadcast_to(np.array([1, 0])[:, None], (b, s)), jnp.int32)
+
+    o = multi_head_attention(q, k, v, h, fused=True, key_mask=key_mask)
+    assert bool(jnp.all(jnp.isfinite(o)))
+    np.testing.assert_allclose(np.asarray(o[1]), 0.0, atol=0.0)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(multi_head_attention(
+            q_, k_, v_, h, fused=True, key_mask=key_mask) ** 2)
+
+    for grad in jax.grad(loss, argnums=(0, 1, 2))(q, k, v):
+        assert bool(jnp.all(jnp.isfinite(grad)))
