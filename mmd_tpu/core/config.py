@@ -39,6 +39,11 @@ class ModelConfig:
     # Compute dtype for matmuls/attention. Params stay float32; layernorm and
     # softmax accumulate in float32 either way.
     compute_dtype: str = "bfloat16"
+    # Megatron-style tensor parallelism over the mesh "model" axis
+    # (parallel/tp.py). Routes attention/MLP through the jnp paths (GSPMD
+    # cannot partition a pallas_call); Trainer(tensor_parallel=True) sets
+    # this and shards params/optimizer state by the TP specs.
+    tensor_parallel: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -53,6 +58,7 @@ class MeshConfig:
     data_axis: str = "data"
     model_axis: str = "model"
     model_parallel: int = 1       # devices along the model axis
+    tensor_parallel: bool = False  # run the train step TP-sharded (tp.py)
 
 
 @dataclass
@@ -128,6 +134,9 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--wandb_entity", type=str, default=None)
     p.add_argument("--resume_from", type=str, default=None)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--tensor_parallel", action="store_true",
+                   help="Megatron-style TP over the mesh model axis "
+                        "(requires --model_parallel >= 2; parallel/tp.py)")
     p.add_argument("--compute_dtype", type=str, default=d.model.compute_dtype,
                    choices=["bfloat16", "float32"])
 
@@ -153,7 +162,8 @@ def train_config_from_args(args: argparse.Namespace) -> TrainConfig:
         pre_embed=args.pre_embed,
         num_workers=args.num_workers,
     )
-    mesh = MeshConfig(model_parallel=args.model_parallel)
+    mesh = MeshConfig(model_parallel=args.model_parallel,
+                      tensor_parallel=getattr(args, "tensor_parallel", False))
     return TrainConfig(
         model=model, data=data, mesh=mesh,
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,

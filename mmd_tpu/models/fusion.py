@@ -128,10 +128,13 @@ def init_fusion_params(key: jax.Array, cfg: ModelConfig) -> dict:
 # -----------------------------------------------------------------------------
 
 def _attn(cfg: ModelConfig, q, k, v, out_proj, rngs: _Rngs, deterministic, dtype):
+    # TP shards the head dim over the mesh "model" axis; the jnp einsum path
+    # partitions along heads under GSPMD, a pallas_call does not.
     ctx = multi_head_attention(
         q, k, v, cfg.num_heads,
         dropout_rate=cfg.dropout, dropout_rng=rngs(),
-        deterministic=deterministic, fused=cfg.fused_attn,
+        deterministic=deterministic,
+        fused=cfg.fused_attn and not cfg.tensor_parallel,
     )
     return L.linear(out_proj, ctx, dtype)
 
@@ -152,7 +155,8 @@ def _representation(
         iV = L.linear(p["image_WV"], X_i, dtype)
 
     def _mlp(name, x):
-        return L.mlp(p[name], x, cfg.dropout, rngs(), deterministic, dtype)
+        return L.mlp(p[name], x, cfg.dropout, rngs(), deterministic, dtype,
+                     fused_ok=not cfg.tensor_parallel)
 
     if X_t is not None and X_i is None:
         H_t = X_t + _attn(cfg, tQ, tK, tV, p["text_self_attn_out"],
@@ -207,7 +211,8 @@ def _evidence_conditioning(
     def path(H, Q, K, V, name, mlp_name):
         s = _attn(cfg, Q, K, V, p[f"{name}_out"], rngs, deterministic, dtype)
         s = L.layernorm(p[f"{name}_ln1"], H + s)
-        s = s + L.mlp(p[mlp_name], s, cfg.dropout, rngs(), deterministic, dtype)
+        s = s + L.mlp(p[mlp_name], s, cfg.dropout, rngs(), deterministic,
+                      dtype, fused_ok=not cfg.tensor_parallel)
         return L.layernorm(p[f"{name}_ln2"], s)
 
     S_t_t = path(H_t, tQ, etK, etV, "text_text", "text_mlp") \

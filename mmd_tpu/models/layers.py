@@ -101,6 +101,7 @@ def mlp(
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     dtype: jnp.dtype = jnp.float32,
+    fused_ok: bool = True,
 ) -> jax.Array:
     """GELU MLP (reference layers.py:5-21, torch nn.GELU = erf-exact).
 
@@ -116,7 +117,8 @@ def mlp(
     bernoulli mask bits are otherwise the dominant HBM traffic of the
     trained MLP (5.2 -> ~2 ms fwd+bwd at (256, 512, 256))."""
     use_fused = (
-        dropout_rate > 0.0 and not deterministic
+        fused_ok
+        and dropout_rate > 0.0 and not deterministic
         and jnp.dtype(dtype) == jnp.bfloat16
         and jax.default_backend() == "tpu"
         and x.shape[-1] % 128 == 0

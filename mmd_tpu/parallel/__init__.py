@@ -12,9 +12,12 @@ from mmd_tpu.core.mesh import (
     make_mesh, replicated, shard_batch,
 )
 from mmd_tpu.ops.topk import make_sharded_topk
+from mmd_tpu.parallel.tp import (
+    shard_tree, state_specs, validate_tp_config,
+)
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "batch_sharding", "corpus_sharding",
     "local_mesh", "make_mesh", "replicated", "shard_batch",
-    "make_sharded_topk",
+    "make_sharded_topk", "shard_tree", "state_specs", "validate_tp_config",
 ]

@@ -1,0 +1,113 @@
+"""Tensor parallelism for the fusion model over the mesh "model" axis.
+
+The reference trains its fusion model on one GPU (reference train.py:32,321)
+— TP is new capability, not a port. The layout is the standard Megatron
+split expressed as GSPMD shardings on the plain pytree params:
+
+  - Q/K/V and evidence key/value projections: column-sharded
+    ``P(None, "model")`` (bias ``P("model")``) — each device owns
+    ``num_heads / tp`` attention heads end to end.
+  - attention output projections (``*_out``): row-sharded
+    ``P("model", None)`` — the partial products all-reduce over ICI back to
+    replicated activations at the residual boundary.
+  - MLP fc1 column- / fc2 row-sharded (hidden dim split ``mlp_ratio * d / tp``
+    per device).
+  - classifier heads: first layer column-, second row-sharded, deeper layers
+    replicated.
+  - input projections, layernorms, and everything scalar stay replicated.
+
+The same name rules cover the optimizer state: AdamW's ``mu``/``nu`` mirror
+the params tree, so their leaves carry the param path as a suffix and pick
+up the same spec. Activations between blocks are replicated; the batch dim
+shards over "data", so TP composes with DP on a (data, model) mesh.
+
+TP mode requires the jnp attention/MLP paths (ModelConfig.tensor_parallel
+gates the Pallas kernels off): GSPMD cannot partition a pallas_call, and the
+jnp einsums partition cleanly along the head axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmd_tpu.core.mesh import MODEL_AXIS
+
+# Param-name suffixes (leaf's parent dict key) -> split kind.
+_COL = "col"    # weight (in, out) -> P(None, model); bias (out,) -> P(model)
+_ROW = "row"    # weight (in, out) -> P(model, None); bias replicated
+
+_COL_NAMES = frozenset({
+    "text_WQ", "text_WK", "text_WV", "image_WQ", "image_WK", "image_WV",
+    "text_evidence_key", "text_evidence_value",
+    "image_evidence_key", "image_evidence_value",
+})
+
+
+def _split_kind(path) -> str | None:
+    """Classify a leaf by the param names along its tree path.
+
+    Works on any tree that embeds the fusion-param paths (params itself,
+    or AdamW mu/nu inside the optimizer state)."""
+    names = [p.key for p in path if hasattr(p, "key")]
+    in_mlp = any(n in ("text_mlp", "image_mlp") for n in names)
+    in_classifier = "classifier" in names
+    for n in reversed(names):
+        if n in _COL_NAMES:
+            return _COL
+        if n.endswith("_out"):
+            return _ROW
+        if in_mlp and n == "fc1":
+            return _COL
+        if in_mlp and n == "fc2":
+            return _ROW
+        if in_classifier and n == "fc0":
+            return _COL
+        if in_classifier and n == "fc1":
+            return _ROW
+    return None
+
+
+def _leaf_spec(path, leaf) -> P:
+    kind = _split_kind(path)
+    ndim = getattr(leaf, "ndim", 0)
+    if kind == _COL:
+        if ndim == 2:
+            return P(None, MODEL_AXIS)
+        if ndim == 1:
+            return P(MODEL_AXIS)
+    elif kind == _ROW:
+        if ndim == 2:
+            return P(MODEL_AXIS, None)
+        # row-split bias is added after the all-reduce: replicated
+    return P()
+
+
+def state_specs(tree: Any) -> Any:
+    """PartitionSpec pytree for any fusion-param-bearing tree (params, a
+    TrainState, or an optax state)."""
+    return jax.tree_util.tree_map_with_path(_leaf_spec, tree)
+
+
+def shard_tree(tree: Any, mesh: Mesh) -> Any:
+    """device_put `tree` with TP shardings derived from its param paths."""
+    specs = state_specs(tree)
+    shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(tree, shardings)
+
+
+def validate_tp_config(mcfg, mesh: Mesh) -> None:
+    tp = mesh.shape[MODEL_AXIS]
+    if mcfg.num_heads % tp != 0:
+        raise ValueError(
+            f"num_heads={mcfg.num_heads} must divide by model axis {tp}")
+    hidden = int(mcfg.embed_dim * mcfg.mlp_ratio)
+    if (mcfg.embed_dim % tp != 0 or hidden % tp != 0
+            or mcfg.hidden_dim % tp != 0):
+        raise ValueError(
+            f"embed_dim={mcfg.embed_dim}/hidden={hidden}/"
+            f"head hidden={mcfg.hidden_dim} not divisible by model axis {tp}")

@@ -116,17 +116,20 @@ def make_raw_step(
 
 
 def make_train_step(
-    cfg: TrainConfig, mesh: Mesh, optimizer: Optional[optax.GradientTransformation] = None
+    cfg: TrainConfig, mesh: Mesh,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    state_shardings=None,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
-    """Compiled DP train step over the mesh: state replicated, batch sharded."""
+    """Compiled train step over the mesh: batch sharded over "data"; state
+    replicated (DP) or sharded by the given pytree (TP over "model",
+    parallel/tp.py)."""
     step_fn = make_raw_step(cfg, optimizer)
-    repl = NamedSharding(mesh, P())
+    state_sh = state_shardings or NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    # State fully replicated; batch sharded on dim 0.
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data),
-        out_shardings=(repl, None),
+        in_shardings=(state_sh, data),
+        out_shardings=(state_sh, None),
         donate_argnums=(0,),
     )
 
@@ -213,7 +216,8 @@ def make_encoding_multi_step(cfg: TrainConfig, mesh: Mesh, enc, n_steps: int,
 
 
 def make_multi_step(cfg: TrainConfig, mesh: Mesh, n_steps: int,
-                    optimizer: Optional[optax.GradientTransformation] = None):
+                    optimizer: Optional[optax.GradientTransformation] = None,
+                    state_shardings=None):
     """One compiled call that scans `n_steps` train steps over a stacked
     batch window (n_steps, B, ...). Amortizes per-dispatch host overhead —
     on tunneled/latency-bound hosts a dispatch costs ~ms to ~100s of ms, so
@@ -228,10 +232,10 @@ def make_multi_step(cfg: TrainConfig, mesh: Mesh, n_steps: int,
                         "labels": aux["labels"]}
         return jax.lax.scan(body, state, batches)
 
-    repl = NamedSharding(mesh, P())
+    state_sh = state_shardings or NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, "data"))   # (K, B, ...) shard dim 1
-    return jax.jit(window_fn, in_shardings=(repl, data),
-                   out_shardings=(repl, None), donate_argnums=(0,))
+    return jax.jit(window_fn, in_shardings=(state_sh, data),
+                   out_shardings=(state_sh, None), donate_argnums=(0,))
 
 
 def stack_batches(batches: list[dict]) -> dict:
@@ -241,7 +245,7 @@ def stack_batches(batches: list[dict]) -> dict:
     return {k: np.stack([b[k] for b in batches]) for k in keys}
 
 
-def make_eval_step(cfg: TrainConfig, mesh: Mesh):
+def make_eval_step(cfg: TrainConfig, mesh: Mesh, param_shardings=None):
     """Compiled eval step: loss + preds without updates (deterministic)."""
     mcfg = cfg.model
 
@@ -249,9 +253,9 @@ def make_eval_step(cfg: TrainConfig, mesh: Mesh):
         _, aux = _loss_fn(params, mcfg, batch, rng=None, deterministic=True)
         return aux
 
-    repl = NamedSharding(mesh, P())
+    param_sh = param_shardings or NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(step_fn, in_shardings=(repl, data), out_shardings=None)
+    return jax.jit(step_fn, in_shardings=(param_sh, data), out_shardings=None)
 
 
 @dataclasses.dataclass
@@ -265,8 +269,31 @@ class Trainer:
     cfg: TrainConfig
     mesh: Mesh
     encoders: Any = None
+    # Megatron-style TP over the mesh "model" axis (parallel/tp.py): params
+    # and optimizer state shard by the TP specs, the batch still shards over
+    # "data". Pre-embedded batches only (the frozen encoders are not TP'd).
+    tensor_parallel: bool = False
 
     def __post_init__(self):
+        self._state_shardings = None
+        if self.tensor_parallel:
+            from mmd_tpu.parallel import tp as TP
+
+            if self.encoders is not None:
+                raise ValueError(
+                    "tensor_parallel supports the pre-embedded path only")
+            if self.mesh.shape.get("model", 1) < 2:
+                raise ValueError("tensor_parallel needs a model axis >= 2")
+            TP.validate_tp_config(self.cfg.model, self.mesh)
+            self.cfg = dataclasses.replace(
+                self.cfg,
+                model=dataclasses.replace(self.cfg.model, tensor_parallel=True))
+            state_shape = jax.eval_shape(
+                lambda: init_state(self.cfg, jax.random.key(0)))
+            self._state_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(self.mesh, s),
+                TP.state_specs(state_shape),
+                is_leaf=lambda x: isinstance(x, P))
         self.optimizer = make_optimizer(self.cfg)
         repl = NamedSharding(self.mesh, P())
         if self.encoders is not None:
@@ -284,19 +311,24 @@ class Trainer:
                     lambda state, stacked: enc_window(state, frozen, stacked))
         else:
             self.train_step = make_train_step(self.cfg, self.mesh,
-                                              self.optimizer)
+                                              self.optimizer,
+                                              self._state_shardings)
             if self.cfg.steps_per_call > 1:
                 self.train_window = make_multi_step(
                     self.cfg, self.mesh, self.cfg.steps_per_call,
-                    self.optimizer)
-        self.eval_step = make_eval_step(self.cfg, self.mesh)
+                    self.optimizer, self._state_shardings)
+        self.eval_step = make_eval_step(
+            self.cfg, self.mesh,
+            None if self._state_shardings is None
+            else self._state_shardings.params)
 
     def init(self, seed: Optional[int] = None) -> TrainState:
         key = jax.random.key(self.cfg.seed if seed is None else seed)
         with jax.default_device(jax.devices()[0]):
             state = init_state(self.cfg, key)
-        repl = NamedSharding(self.mesh, P())
-        return jax.device_put(state, repl)
+        shardings = (self._state_shardings if self._state_shardings is not None
+                     else NamedSharding(self.mesh, P()))
+        return jax.device_put(state, shardings)
 
     def shard_batch(self, batch: dict) -> dict:
         data = NamedSharding(self.mesh, P("data"))

@@ -1,0 +1,150 @@
+"""Tensor parallelism over the mesh "model" axis (parallel/tp.py).
+
+The semantics claim: Megatron-style sharding of the fusion model's
+attention heads / MLP hidden / classifier hidden over "model" computes the
+SAME losses and parameter trajectory as replicated DP — the split only
+changes where the columns live; GSPMD's all-reduces at the row-sharded
+projections replace local sums. The reference is single-GPU
+(reference train.py:32,321); TP is new framework capability.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from mmd_tpu.core.config import DataConfig, ModelConfig, TrainConfig
+from mmd_tpu.core.mesh import MODEL_AXIS, make_mesh
+from mmd_tpu.data.synthetic import synthetic_preembed_batch
+from mmd_tpu.parallel import tp
+from mmd_tpu.training.trainer import Trainer, init_state
+
+
+def _cfg(dropout=0.1):
+    model = ModelConfig(
+        text_input_dim=16, image_input_dim=24, embed_dim=32, num_heads=4,
+        hidden_dim=16, compute_dtype="float32", dropout=dropout)
+    return TrainConfig(model=model, batch_size=16, lr=1e-3,
+                       data=DataConfig(text_seq_len=8, image_seq_len=4))
+
+
+@pytest.fixture(scope="module")
+def mesh_tp():
+    return make_mesh(jax.devices(), model_parallel=2)   # (data 4, model 2)
+
+
+def test_tp_specs_split_the_right_leaves():
+    cfg = _cfg()
+    state = jax.eval_shape(lambda: init_state(cfg, jax.random.key(0)))
+    specs = tp.state_specs(state)
+    p = specs.params["representation"]
+    assert p["text_WQ"]["w"] == P(None, MODEL_AXIS)
+    assert p["text_WQ"]["b"] == P(MODEL_AXIS)
+    assert p["text_self_attn_out"]["w"] == P(MODEL_AXIS, None)
+    assert p["text_self_attn_out"]["b"] == P()
+    assert p["text_mlp"]["fc1"]["w"] == P(None, MODEL_AXIS)
+    assert p["text_mlp"]["fc2"]["w"] == P(MODEL_AXIS, None)
+    assert p["text_self_ln1"]["scale"] == P()
+    assert p["text_proj"]["w"] == P()
+    c = specs.params["cross_attn"]
+    assert c["text_evidence_key"]["w"] == P(None, MODEL_AXIS)
+    assert c["text_image_out"]["w"] == P(MODEL_AXIS, None)
+    heads = specs.params["classifier"]["mlp_text_given_text"]
+    assert heads["fc0"]["w"] == P(None, MODEL_AXIS)
+    assert heads["fc1"]["w"] == P(MODEL_AXIS, None)
+    # AdamW mu/nu mirror the params tree and pick up the same specs
+    mu = specs.opt_state[0].mu["representation"]
+    assert mu["text_WQ"]["w"] == P(None, MODEL_AXIS)
+    assert mu["text_self_attn_out"]["w"] == P(MODEL_AXIS, None)
+    assert specs.step == P() and specs.rng == P()
+
+
+def test_tp_losses_match_dp(mesh8, mesh_tp, rng):
+    """3 train steps (dropout active): TP(4x2) == DP(8) losses to f32
+    reduction-order noise. (Param trajectories are NOT compared after
+    multiple AdamW steps: mhat/sqrt(vhat) normalizes near-zero grads to
+    full-size updates, so reduction-order noise flips update signs —
+    test_tp_grads_match_replicated covers the grad semantics directly.)"""
+    batches = [synthetic_preembed_batch(rng, 16, text_seq=8, image_seq=4,
+                                        text_dim=16, image_dim=24)
+               for _ in range(3)]
+
+    def run(trainer):
+        state = trainer.init(seed=0)
+        losses = []
+        for b in batches:
+            state, aux = trainer.train_step(state, trainer.shard_batch(b))
+            losses.append(float(np.asarray(aux["loss"])))
+        return losses
+
+    losses_dp = run(Trainer(_cfg(), mesh8))
+    losses_tp = run(Trainer(_cfg(), mesh_tp, tensor_parallel=True))
+    np.testing.assert_allclose(losses_tp, losses_dp, rtol=2e-5, atol=1e-6)
+
+
+def test_tp_grads_match_replicated(mesh_tp, rng):
+    """Grads of the mean loss with TP-sharded params == grads with
+    replicated params on the same mesh: GSPMD's all-reduces at the
+    row-sharded projections are exactly the local sums they replace."""
+    from jax.sharding import NamedSharding
+    from mmd_tpu.training.trainer import _loss_fn
+
+    cfg = _cfg(dropout=0.0)
+    tp_model = dataclasses.replace(cfg.model, tensor_parallel=True)
+    params = init_state(cfg, jax.random.key(0)).params
+    batch = synthetic_preembed_batch(rng, 16, text_seq=8, image_seq=4,
+                                     text_dim=16, image_dim=24)
+
+    def grads_with(params_sharded, mcfg):
+        f = jax.jit(jax.grad(
+            lambda p, b: _loss_fn(p, mcfg, b, None, deterministic=True)[0]))
+        b = jax.device_put(batch, NamedSharding(mesh_tp, P("data")))
+        return f(params_sharded, b)
+
+    g_repl = grads_with(
+        jax.device_put(params, NamedSharding(mesh_tp, P())), cfg.model)
+    g_tp = grads_with(tp.shard_tree(params, mesh_tp), tp_model)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_repl)
+    flat_t = jax.tree_util.tree_leaves_with_path(g_tp)
+    for (path_r, leaf_r), (path_t, leaf_t) in zip(flat_r, flat_t):
+        assert path_r == path_t
+        np.testing.assert_allclose(
+            np.asarray(leaf_t), np.asarray(leaf_r), rtol=5e-5, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path_r))
+
+
+def test_tp_state_stays_sharded_across_steps(mesh_tp, rng):
+    """The jitted step's out_shardings hold the TP layout — params AND
+    AdamW moments stay split over "model" after updates (no silent
+    gather-to-replicated drift)."""
+    trainer = Trainer(_cfg(), mesh_tp, tensor_parallel=True)
+    state = trainer.init(seed=0)
+    batch = trainer.shard_batch(synthetic_preembed_batch(
+        rng, 16, text_seq=8, image_seq=4, text_dim=16, image_dim=24))
+    state, _ = trainer.train_step(state, batch)
+
+    wq = state.params["representation"]["text_WQ"]["w"]
+    assert wq.sharding.spec == P(None, MODEL_AXIS)
+    local = wq.addressable_shards[0].data.shape
+    assert local == (32, 16), local                      # 32 x (32/2)
+    mu = state.opt_state[0].mu["representation"]["text_mlp"]["fc1"]["w"]
+    assert mu.sharding.spec == P(None, MODEL_AXIS)
+    out_w = state.params["representation"]["text_self_attn_out"]["w"]
+    assert out_w.sharding.spec == P(MODEL_AXIS, None)
+    assert out_w.addressable_shards[0].data.shape == (16, 32)
+
+
+def test_tp_validation_rejects_indivisible_heads(mesh_tp):
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, embed_dim=24, num_heads=3))
+    with pytest.raises(ValueError, match="num_heads"):
+        Trainer(cfg, mesh_tp, tensor_parallel=True)
+
+
+def test_tp_requires_model_axis(mesh8):
+    with pytest.raises(ValueError, match="model axis"):
+        Trainer(_cfg(), mesh8, tensor_parallel=True)

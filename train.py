@@ -54,7 +54,7 @@ def main():
 
     cfg = train_config_from_args(args)
     mesh = make_mesh(model_parallel=cfg.mesh.model_parallel)
-    trainer = Trainer(cfg, mesh)
+    trainer = Trainer(cfg, mesh, tensor_parallel=cfg.mesh.tensor_parallel)
     print(f"[train] mesh: {mesh}")
 
     if args.synthetic_samples:
@@ -98,7 +98,8 @@ def main():
             print(f"[train] raw store not found at {sp}; building...")
         store = build_raw_store(cfg.data.train_data, enc.tokenizer)
         print(f"[train] {len(store)} raw samples (on-the-fly encoding)")
-        trainer = Trainer(cfg, mesh, encoders=enc)
+        trainer = Trainer(cfg, mesh, encoders=enc,
+                          tensor_parallel=cfg.mesh.tensor_parallel)
 
         def train_batches(epoch):
             return store.batches(cfg.batch_size, shuffle=cfg.data.shuffle,
