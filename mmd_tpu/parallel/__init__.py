@@ -13,11 +13,13 @@ from mmd_tpu.core.mesh import (
 )
 from mmd_tpu.ops.topk import make_sharded_topk
 from mmd_tpu.parallel.tp import (
-    shard_tree, state_specs, validate_tp_config,
+    encoder_specs, shard_encoder, shard_tree, state_specs,
+    validate_tp_config,
 )
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "batch_sharding", "corpus_sharding",
     "local_mesh", "make_mesh", "replicated", "shard_batch",
-    "make_sharded_topk", "shard_tree", "state_specs", "validate_tp_config",
+    "make_sharded_topk", "encoder_specs", "shard_encoder", "shard_tree",
+    "state_specs", "validate_tp_config",
 ]

@@ -70,8 +70,25 @@ def _split_kind(path) -> str | None:
     return None
 
 
-def _leaf_spec(path, leaf) -> P:
-    kind = _split_kind(path)
+# Encoder layer names (models/transformer.py::init_layer — shared by the
+# BERT/MPNet/ViT/captioner stacks — and models/deberta.py::init_deberta):
+# q/k/v and ffn_in split by column (heads / hidden), every *_out projection
+# (attn_out, xattn_out, ffn_out) by row. Embeddings, LNs, pos tables, and
+# pooler stay replicated (default P()).
+_ENC_COL = frozenset({"q", "k", "v", "xq", "xk", "xv", "ffn_in"})
+
+
+def _enc_split_kind(path) -> str | None:
+    names = [p.key for p in path if hasattr(p, "key")]
+    for n in reversed(names):
+        if n in _ENC_COL:
+            return _COL
+        if n.endswith("_out"):
+            return _ROW
+    return None
+
+
+def _kind_spec(kind: str | None, leaf) -> P:
     ndim = getattr(leaf, "ndim", 0)
     if kind == _COL:
         if ndim == 2:
@@ -88,16 +105,34 @@ def _leaf_spec(path, leaf) -> P:
 def state_specs(tree: Any) -> Any:
     """PartitionSpec pytree for any fusion-param-bearing tree (params, a
     TrainState, or an optax state)."""
-    return jax.tree_util.tree_map_with_path(_leaf_spec, tree)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _kind_spec(_split_kind(path), leaf), tree)
 
 
-def shard_tree(tree: Any, mesh: Mesh) -> Any:
-    """device_put `tree` with TP shardings derived from its param paths."""
-    specs = state_specs(tree)
+def encoder_specs(tree: Any) -> Any:
+    """PartitionSpec pytree for an encoder param tree (DeBERTa, BERT/MPNet,
+    ViT, captioner — anything built on transformer.py layer names)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _kind_spec(_enc_split_kind(path), leaf), tree)
+
+
+def _put(tree: Any, specs: Any, mesh: Mesh) -> Any:
     shardings = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), specs,
         is_leaf=lambda x: isinstance(x, P))
     return jax.device_put(tree, shardings)
+
+
+def shard_tree(tree: Any, mesh: Mesh) -> Any:
+    """device_put `tree` with TP shardings derived from its param paths."""
+    return _put(tree, state_specs(tree), mesh)
+
+
+def shard_encoder(params: Any, mesh: Mesh) -> Any:
+    """device_put encoder params with the encoder TP shardings. The jnp
+    attention paths are required (pass fused/fused_attn=False on TPU —
+    GSPMD cannot partition a pallas_call)."""
+    return _put(params, encoder_specs(params), mesh)
 
 
 def validate_tp_config(mcfg, mesh: Mesh) -> None:

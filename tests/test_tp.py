@@ -137,6 +137,62 @@ def test_tp_state_stays_sharded_across_steps(mesh_tp, rng):
     assert out_w.addressable_shards[0].data.shape == (16, 32)
 
 
+def test_encoder_tp_bert_matches_replicated(mesh_tp, rng):
+    """Serving TP for the BERT-class stack: encoder params sharded by
+    tp.encoder_specs produce the same last_hidden_state as replicated."""
+    from jax.sharding import NamedSharding
+    import mmd_tpu.models.text_encoder as te
+
+    cfg = dataclasses.replace(te.TINY_TEST, fused_attn=False, dropout=0.0)
+    params = te.init_text_encoder(jax.random.key(1), cfg)
+    ids = rng.integers(1, 100, (8, 16)).astype(np.int32)
+    mask = np.ones((8, 16), np.int32)
+    mask[:, 12:] = 0
+
+    f = jax.jit(lambda p, i, m: te.encode(p, cfg, i, m))
+    data = NamedSharding(mesh_tp, P("data"))
+    args = (jax.device_put(ids, data), jax.device_put(mask, data))
+    out_repl = f(jax.device_put(params, NamedSharding(mesh_tp, P())), *args)
+    p_tp = tp.shard_encoder(params, mesh_tp)
+    assert (p_tp["layers"][0]["q"]["w"].sharding.spec
+            == P(None, MODEL_AXIS))
+    assert (p_tp["layers"][0]["ffn_out"]["w"].sharding.spec
+            == P(MODEL_AXIS, None))
+    assert p_tp["embeddings"]["word"].sharding.spec == P()
+    out_tp = f(p_tp, *args)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_repl),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_encoder_tp_deberta_matches_replicated(mesh_tp, rng):
+    """Serving TP for the DeBERTa disentangled-attention jnp path."""
+    from jax.sharding import NamedSharding
+    from mmd_tpu.models import deberta as D
+
+    cfg = D.DebertaConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=16, position_buckets=8,
+        compute_dtype="float32", fused_attn=False)
+    params = D.init_deberta(jax.random.key(2), cfg)
+    ids = rng.integers(1, 60, (8, 16)).astype(np.int32)
+    mask = np.ones((8, 16), np.int32)
+    mask[:, 13:] = 0
+
+    f = jax.jit(lambda p, i, m: D.deberta_encode(p, cfg, i, m))
+    data = NamedSharding(mesh_tp, P("data"))
+    args = (jax.device_put(ids, data), jax.device_put(mask, data))
+    out_repl = f(jax.device_put(params, NamedSharding(mesh_tp, P())), *args)
+    p_tp = tp.shard_encoder(params, mesh_tp)
+    assert (p_tp["layers"][1]["ffn_in"]["w"].sharding.spec
+            == P(None, MODEL_AXIS))
+    assert (p_tp["layers"][1]["attn_out"]["w"].sharding.spec
+            == P(MODEL_AXIS, None))
+    assert p_tp["rel_embeddings"].sharding.spec == P()
+    out_tp = f(p_tp, *args)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_repl),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_tp_validation_rejects_indivisible_heads(mesh_tp):
     cfg = _cfg()
     cfg = dataclasses.replace(
