@@ -135,6 +135,26 @@ def shard_encoder(params: Any, mesh: Mesh) -> Any:
     return _put(params, encoder_specs(params), mesh)
 
 
+def zero1_specs(state: Any, data_size: int) -> Any:
+    """ZeRO-1: PartitionSpecs for a TrainState that shard the OPTIMIZER
+    state (AdamW mu/nu) over the DATA axis while params stay replicated —
+    each DP rank holds 1/n of the moments (2/3 of the training-state
+    memory beyond params), and GSPMD gathers the param update over ICI.
+    Leaves whose leading dim does not divide by the axis stay replicated
+    (classifier-logit biases and scalars like Adam's count)."""
+    from mmd_tpu.core.mesh import DATA_AXIS
+
+    def opt_spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[0] % data_size == 0 and shape[0] > 0:
+            return P(DATA_AXIS, *([None] * (len(shape) - 1)))
+        return P()
+
+    repl = jax.tree_util.tree_map(lambda _: P(), state.params)
+    opt = jax.tree_util.tree_map(opt_spec, state.opt_state)
+    return state._replace(step=P(), params=repl, opt_state=opt, rng=P())
+
+
 def validate_tp_config(mcfg, mesh: Mesh) -> None:
     tp = mesh.shape[MODEL_AXIS]
     if mcfg.num_heads % tp != 0:

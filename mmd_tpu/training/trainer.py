@@ -273,26 +273,38 @@ class Trainer:
     # and optimizer state shard by the TP specs, the batch still shards over
     # "data". Pre-embedded batches only (the frozen encoders are not TP'd).
     tensor_parallel: bool = False
+    # ZeRO-1: shard the AdamW moments over the "data" axis (params stay
+    # replicated; each DP rank holds 1/n of the optimizer state). Exclusive
+    # with tensor_parallel; pre-embedded batches only.
+    zero1: bool = False
 
     def __post_init__(self):
         self._state_shardings = None
-        if self.tensor_parallel:
+        if self.tensor_parallel or self.zero1:
             from mmd_tpu.parallel import tp as TP
 
             if self.encoders is not None:
                 raise ValueError(
-                    "tensor_parallel supports the pre-embedded path only")
-            if self.mesh.shape.get("model", 1) < 2:
-                raise ValueError("tensor_parallel needs a model axis >= 2")
-            TP.validate_tp_config(self.cfg.model, self.mesh)
-            self.cfg = dataclasses.replace(
-                self.cfg,
-                model=dataclasses.replace(self.cfg.model, tensor_parallel=True))
+                    "sharded-state training supports the pre-embedded "
+                    "path only")
+            if self.tensor_parallel and self.zero1:
+                raise ValueError("tensor_parallel and zero1 are exclusive")
+            if self.tensor_parallel:
+                if self.mesh.shape.get("model", 1) < 2:
+                    raise ValueError(
+                        "tensor_parallel needs a model axis >= 2")
+                TP.validate_tp_config(self.cfg.model, self.mesh)
+                self.cfg = dataclasses.replace(
+                    self.cfg,
+                    model=dataclasses.replace(self.cfg.model,
+                                              tensor_parallel=True))
             state_shape = jax.eval_shape(
                 lambda: init_state(self.cfg, jax.random.key(0)))
+            specs = (TP.state_specs(state_shape) if self.tensor_parallel
+                     else TP.zero1_specs(state_shape,
+                                         self.mesh.shape["data"]))
             self._state_shardings = jax.tree_util.tree_map(
-                lambda s: NamedSharding(self.mesh, s),
-                TP.state_specs(state_shape),
+                lambda s: NamedSharding(self.mesh, s), specs,
                 is_leaf=lambda x: isinstance(x, P))
         self.optimizer = make_optimizer(self.cfg)
         repl = NamedSharding(self.mesh, P())

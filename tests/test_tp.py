@@ -204,3 +204,32 @@ def test_tp_validation_rejects_indivisible_heads(mesh_tp):
 def test_tp_requires_model_axis(mesh8):
     with pytest.raises(ValueError, match="model axis"):
         Trainer(_cfg(), mesh8, tensor_parallel=True)
+
+
+def test_zero1_matches_dp_and_shards_moments(mesh8, rng):
+    """ZeRO-1: AdamW mu/nu sharded over "data" (params replicated) — same
+    losses as plain DP, moments actually split 1/8 per rank."""
+    batches = [synthetic_preembed_batch(rng, 16, text_seq=8, image_seq=4,
+                                        text_dim=16, image_dim=24)
+               for _ in range(3)]
+
+    def run(trainer):
+        state = trainer.init(seed=0)
+        losses = []
+        for b in batches:
+            state, aux = trainer.train_step(state, trainer.shard_batch(b))
+            losses.append(float(np.asarray(aux["loss"])))
+        return losses, state
+
+    losses_dp, _ = run(Trainer(_cfg(), mesh8))
+    losses_z, state_z = run(Trainer(_cfg(), mesh8, zero1=True))
+    np.testing.assert_allclose(losses_z, losses_dp, rtol=2e-5, atol=1e-6)
+
+    mu = state_z.opt_state[0].mu["representation"]["text_WQ"]["w"]
+    assert mu.sharding.spec[0] == "data"                 # (32, 32) split 8x
+    assert mu.addressable_shards[0].data.shape == (4, 32)
+    head_b = state_z.opt_state[0].nu["classifier"][
+        "mlp_text_given_text"]["fc1"]["b"]
+    assert head_b.sharding.spec == P()                   # (3,) % 8 != 0
+    w = state_z.params["representation"]["text_WQ"]["w"]
+    assert w.sharding.spec == P()                        # params replicated
