@@ -59,6 +59,7 @@ class MeshConfig:
     model_axis: str = "model"
     model_parallel: int = 1       # devices along the model axis
     tensor_parallel: bool = False  # run the train step TP-sharded (tp.py)
+    zero1: bool = False           # shard AdamW moments over the data axis
 
 
 @dataclass
@@ -137,6 +138,8 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tensor_parallel", action="store_true",
                    help="Megatron-style TP over the mesh model axis "
                         "(requires --model_parallel >= 2; parallel/tp.py)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard AdamW moments over the data axis")
     p.add_argument("--compute_dtype", type=str, default=d.model.compute_dtype,
                    choices=["bfloat16", "float32"])
 
@@ -163,7 +166,8 @@ def train_config_from_args(args: argparse.Namespace) -> TrainConfig:
         num_workers=args.num_workers,
     )
     mesh = MeshConfig(model_parallel=args.model_parallel,
-                      tensor_parallel=getattr(args, "tensor_parallel", False))
+                      tensor_parallel=getattr(args, "tensor_parallel", False),
+                      zero1=getattr(args, "zero1", False))
     return TrainConfig(
         model=model, data=data, mesh=mesh,
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,

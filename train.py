@@ -54,7 +54,8 @@ def main():
 
     cfg = train_config_from_args(args)
     mesh = make_mesh(model_parallel=cfg.mesh.model_parallel)
-    trainer = Trainer(cfg, mesh, tensor_parallel=cfg.mesh.tensor_parallel)
+    trainer = Trainer(cfg, mesh, tensor_parallel=cfg.mesh.tensor_parallel,
+                      zero1=cfg.mesh.zero1)
     print(f"[train] mesh: {mesh}")
 
     if args.synthetic_samples:
