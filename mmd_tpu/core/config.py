@@ -39,10 +39,20 @@ class ModelConfig:
     # Compute dtype for matmuls/attention. Params stay float32; layernorm and
     # softmax accumulate in float32 either way.
     compute_dtype: str = "bfloat16"
+    # Merge the four evidence-path attentions into TWO kernel calls: paths
+    # sharing evidence K/V (t<-t with i<-t over E_t; t<-i with i<-i over
+    # E_i) concatenate their queries along T (padded to the 128-lane
+    # boundary), so each evidence K/V is streamed from HBM once instead of
+    # twice and half the kernel launches disappear. Identical math per
+    # path (rows of a non-causal attention are independent); dropout masks
+    # differ from the unmerged layout (one rng per merged call).
+    merged_paths: bool = False
     # Megatron-style tensor parallelism over the mesh "model" axis
-    # (parallel/tp.py). Routes attention/MLP through the jnp paths (GSPMD
-    # cannot partition a pallas_call); Trainer(tensor_parallel=True) sets
-    # this and shards params/optimizer state by the TP specs.
+    # (parallel/tp.py). Trainer(tensor_parallel=True) sets this, shards
+    # params/optimizer state by the TP specs, and passes the mesh down so
+    # the fused Pallas kernels run device-locally under shard_map (GSPMD
+    # cannot partition a pallas_call; without a mesh the jnp paths are
+    # used, which GSPMD partitions along heads).
     tensor_parallel: bool = False
 
     @property

@@ -127,20 +127,28 @@ def init_fusion_params(key: jax.Array, cfg: ModelConfig) -> dict:
 # Forward
 # -----------------------------------------------------------------------------
 
-def _attn(cfg: ModelConfig, q, k, v, out_proj, rngs: _Rngs, deterministic, dtype):
-    # TP shards the head dim over the mesh "model" axis; the jnp einsum path
-    # partitions along heads under GSPMD, a pallas_call does not.
+def _attn(cfg: ModelConfig, q, k, v, out_proj, rngs: _Rngs, deterministic,
+          dtype, tp_mesh=None):
+    # TP shards the head dim over the mesh "model" axis. The jnp einsum path
+    # partitions along heads under GSPMD; the Pallas kernels cannot be
+    # GSPMD-partitioned, so with a tp_mesh they run device-locally under
+    # shard_map (each device owns num_heads/tp whole heads — see
+    # ops/attention._shard_mapped_attention). Without a mesh, TP falls back
+    # to the jnp path as before.
     ctx = multi_head_attention(
         q, k, v, cfg.num_heads,
         dropout_rate=cfg.dropout, dropout_rng=rngs(),
         deterministic=deterministic,
-        fused=cfg.fused_attn and not cfg.tensor_parallel,
+        fused=cfg.fused_attn and (not cfg.tensor_parallel
+                                  or tp_mesh is not None),
+        tp_mesh=tp_mesh if cfg.tensor_parallel else None,
     )
     return L.linear(out_proj, ctx, dtype)
 
 
 def _representation(
-    p: dict, cfg: ModelConfig, X_t, X_i, rngs: _Rngs, deterministic, dtype
+    p: dict, cfg: ModelConfig, X_t, X_i, rngs: _Rngs, deterministic, dtype,
+    tp_mesh=None,
 ):
     """Multi-view claim representation. Returns (H_t, H_i) (either may be None)."""
     if X_t is not None:
@@ -156,41 +164,42 @@ def _representation(
 
     def _mlp(name, x):
         return L.mlp(p[name], x, cfg.dropout, rngs(), deterministic, dtype,
-                     fused_ok=not cfg.tensor_parallel)
+                     fused_ok=not cfg.tensor_parallel or tp_mesh is not None,
+                     tp_mesh=tp_mesh if cfg.tensor_parallel else None)
 
     if X_t is not None and X_i is None:
         H_t = X_t + _attn(cfg, tQ, tK, tV, p["text_self_attn_out"],
-                          rngs, deterministic, dtype)
+                          rngs, deterministic, dtype, tp_mesh)
         H_t = L.layernorm(p["text_self_ln1"], H_t)
         H_t = H_t + _mlp("text_mlp", H_t)
         return L.layernorm(p["text_self_ln2"], H_t), None
 
     if X_i is not None and X_t is None:
         H_i = X_i + _attn(cfg, iQ, iK, iV, p["image_self_attn_out"],
-                          rngs, deterministic, dtype)
+                          rngs, deterministic, dtype, tp_mesh)
         H_i = L.layernorm(p["image_self_ln1"], H_i)
         H_i = H_i + _mlp("image_mlp", H_i)
         return None, L.layernorm(p["image_self_ln2"], H_i)
 
     # Multimodal. The second attention's K/V source is the parity quirk.
     H_t = X_t + _attn(cfg, tQ, tK, tV, p["text_self_attn_out"],
-                      rngs, deterministic, dtype)
+                      rngs, deterministic, dtype, tp_mesh)
     H_t = L.layernorm(p["text_self_ln1"], H_t)
     H_i = X_i + _attn(cfg, iQ, iK, iV, p["image_self_attn_out"],
-                      rngs, deterministic, dtype)
+                      rngs, deterministic, dtype, tp_mesh)
     H_i = L.layernorm(p["image_self_ln1"], H_i)
 
     t_kv = (tK, tV) if cfg.parity_cross_kv else (iK, iV)
     i_kv = (iK, iV) if cfg.parity_cross_kv else (tK, tV)
 
     C_t = H_t + _attn(cfg, H_t, *t_kv, p["text_cross_attn_out"],
-                      rngs, deterministic, dtype)
+                      rngs, deterministic, dtype, tp_mesh)
     C_t = L.layernorm(p["text_cross_ln1"], C_t)
     C_t = C_t + _mlp("text_mlp", C_t)
     C_t = L.layernorm(p["text_cross_ln2"], C_t)
 
     C_i = H_i + _attn(cfg, H_i, *i_kv, p["image_cross_attn_out"],
-                      rngs, deterministic, dtype)
+                      rngs, deterministic, dtype, tp_mesh)
     C_i = L.layernorm(p["image_cross_ln1"], C_i)
     C_i = C_i + _mlp("image_mlp", C_i)
     C_i = L.layernorm(p["image_cross_ln2"], C_i)
@@ -198,7 +207,8 @@ def _representation(
 
 
 def _evidence_conditioning(
-    p: dict, cfg: ModelConfig, H_t, H_i, E_t, E_i, rngs: _Rngs, deterministic, dtype
+    p: dict, cfg: ModelConfig, H_t, H_i, E_t, E_i, rngs: _Rngs, deterministic,
+    dtype, tp_mesh=None,
 ):
     """4-path evidence conditioning. Returns ((S_t_t, S_t_i), (S_i_t, S_i_i))."""
     tQ = L.linear(p["text_WQ"], H_t, dtype) if H_t is not None else None
@@ -208,12 +218,48 @@ def _evidence_conditioning(
     eiK = L.linear(p["image_evidence_key"], E_i, dtype) if E_i is not None else None
     eiV = L.linear(p["image_evidence_value"], E_i, dtype) if E_i is not None else None
 
-    def path(H, Q, K, V, name, mlp_name):
-        s = _attn(cfg, Q, K, V, p[f"{name}_out"], rngs, deterministic, dtype)
+    def finish(H, ctx, name, mlp_name):
+        """Out-projection + residual/LN/MLP tail of one evidence path."""
+        s = L.linear(p[f"{name}_out"], ctx, dtype)
         s = L.layernorm(p[f"{name}_ln1"], H + s)
         s = s + L.mlp(p[mlp_name], s, cfg.dropout, rngs(), deterministic,
-                      dtype, fused_ok=not cfg.tensor_parallel)
+                      dtype,
+                      fused_ok=not cfg.tensor_parallel or tp_mesh is not None,
+                      tp_mesh=tp_mesh if cfg.tensor_parallel else None)
         return L.layernorm(p[f"{name}_ln2"], s)
+
+    def attn_core(Q, K, V):
+        return multi_head_attention(
+            Q, K, V, cfg.num_heads,
+            dropout_rate=cfg.dropout, dropout_rng=rngs(),
+            deterministic=deterministic,
+            fused=cfg.fused_attn and (not cfg.tensor_parallel
+                                      or tp_mesh is not None),
+            tp_mesh=tp_mesh if cfg.tensor_parallel else None)
+
+    if (cfg.merged_paths and H_t is not None and H_i is not None
+            and E_t is not None and E_i is not None):
+        # One kernel per evidence modality: [tQ; iQ] rows attend the shared
+        # K/V together (query rows of a non-causal attention are
+        # independent), so E_t/E_i K/V stream from HBM once. Padding to the
+        # 128 boundary keeps the strip-seeded dropout geometry legal.
+        tt, ti = tQ.shape[1], iQ.shape[1]
+        pad = (-(tt + ti)) % 128
+        parts = [tQ, iQ]
+        if pad:
+            parts.append(jnp.zeros((tQ.shape[0], pad, tQ.shape[2]), tQ.dtype))
+        q_cat = jnp.concatenate(parts, axis=1)
+        ctx_et = attn_core(q_cat, etK, etV)
+        ctx_ei = attn_core(q_cat, eiK, eiV)
+        return (
+            (finish(H_t, ctx_et[:, :tt], "text_text", "text_mlp"),
+             finish(H_t, ctx_ei[:, :tt], "text_image", "text_mlp")),
+            (finish(H_i, ctx_et[:, tt:tt + ti], "image_text", "image_mlp"),
+             finish(H_i, ctx_ei[:, tt:tt + ti], "image_image", "image_mlp")),
+        )
+
+    def path(H, Q, K, V, name, mlp_name):
+        return finish(H, attn_core(Q, K, V), name, mlp_name)
 
     S_t_t = path(H_t, tQ, etK, etV, "text_text", "text_mlp") \
         if (H_t is not None and E_t is not None) else None
@@ -227,6 +273,7 @@ def _evidence_conditioning(
 
 
 def _classify(p: dict, cfg: ModelConfig, S_t, S_i, rngs: _Rngs, deterministic, dtype):
+    fd_ok = not cfg.tensor_parallel  # pallas dropout is not GSPMD-partitionable
     def pool(x):
         return jnp.mean(x.astype(jnp.float32), axis=1).astype(dtype)
 
@@ -234,14 +281,14 @@ def _classify(p: dict, cfg: ModelConfig, S_t, S_i, rngs: _Rngs, deterministic, d
         pooled = [pool(s) for s in (*S_t, *S_i) if s is not None]
         concat = jnp.concatenate(pooled, axis=-1)
         logits = L.head_apply(p["unified_mlp"], concat, cfg.dropout, rngs(),
-                              deterministic, dtype)
+                              deterministic, dtype, fused_dropout_ok=fd_ok)
         return logits.astype(jnp.float32), None
 
     def head(name, s):
         if s is None:
             return None
         out = L.head_apply(p[name], pool(s), cfg.dropout, rngs(),
-                           deterministic, dtype)
+                           deterministic, dtype, fused_dropout_ok=fd_ok)
         return out.astype(jnp.float32)
 
     (S_t_t, S_t_i), (S_i_t, S_i_i) = S_t, S_i
@@ -260,6 +307,7 @@ def fusion_forward(
     E_i: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    tp_mesh=None,
 ):
     """Full model forward.
 
@@ -275,19 +323,21 @@ def fusion_forward(
 
     if cfg.text_only:
         H_t, _ = _representation(params["representation"], cfg, X_t, None,
-                                 rngs, deterministic, dtype)
+                                 rngs, deterministic, dtype, tp_mesh)
         (S_t_t, _), _ = _evidence_conditioning(
             params["cross_attn"], cfg, H_t, None, E_t, None,
-            rngs, deterministic, dtype)
+            rngs, deterministic, dtype, tp_mesh)
         pooled = jnp.mean(S_t_t.astype(jnp.float32), axis=1).astype(dtype)
         logits = L.head_apply(params["classifier"]["text_classifier"], pooled,
-                              cfg.dropout, rngs(), deterministic, dtype)
+                              cfg.dropout, rngs(), deterministic, dtype,
+                              fused_dropout_ok=not cfg.tensor_parallel)
         return logits.astype(jnp.float32), None
 
     H_t, H_i = _representation(params["representation"], cfg, X_t, X_i,
-                               rngs, deterministic, dtype)
+                               rngs, deterministic, dtype, tp_mesh)
     S_t, S_i = _evidence_conditioning(params["cross_attn"], cfg, H_t, H_i,
-                                      E_t, E_i, rngs, deterministic, dtype)
+                                      E_t, E_i, rngs, deterministic, dtype,
+                                      tp_mesh)
     return _classify(params["classifier"], cfg, S_t, S_i, rngs,
                      deterministic, dtype)
 

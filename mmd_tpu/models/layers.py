@@ -66,18 +66,20 @@ def dropout(
     rate: float,
     rng: Optional[jax.Array],
     deterministic: bool,
+    fused_ok: bool = True,
 ) -> jax.Array:
     if deterministic or rate <= 0.0:
         return x
     if rng is None:
         raise ValueError("dropout requires an rng when non-deterministic")
     from mmd_tpu.ops.dropout import fused_dropout, use_fused
-    if use_fused(x, rate, deterministic):
+    if fused_ok and use_fused(x, rate, deterministic):
         # TPU: in-kernel PRNG mask, regenerated bit-exactly in the backward
         # (ops/dropout.py) — nothing mask-sized touches HBM in either pass.
         return fused_dropout(x, rate, rng)
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    # Multiplicative-mask form (identical values to where(keep, x/q, 0)):
+    # Multiplicative-mask form (equivalent to where(keep, x/q, 0) up to one
+    # rounding of the reciprocal in the compute dtype):
     # the backward is one multiply by the saved mask instead of a PRNG
     # regeneration + select pair — measured 5.18 -> ~2.8 ms on the
     # (256, 512, 1024) MLP fwd+bwd.
@@ -102,6 +104,7 @@ def mlp(
     deterministic: bool = True,
     dtype: jnp.dtype = jnp.float32,
     fused_ok: bool = True,
+    tp_mesh=None,
 ) -> jax.Array:
     """GELU MLP (reference layers.py:5-21, torch nn.GELU = erf-exact).
 
@@ -128,13 +131,17 @@ def mlp(
         from mmd_tpu.ops.mlp import fused_mlp
         return fused_mlp(x, params["fc1"]["w"], params["fc1"]["b"],
                          params["fc2"]["w"], params["fc2"]["b"],
-                         rate=dropout_rate, rng=rng, dtype=dtype)
+                         rate=dropout_rate, rng=rng, dtype=dtype,
+                         tp_mesh=tp_mesh)
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+    # Under TP the hidden activation is model-sharded; the elementwise
+    # Pallas dropout cannot be GSPMD-partitioned, so fall to bernoulli.
+    elem_ok = tp_mesh is None
     h = linear(params["fc1"], x, dtype)
     h = jax.nn.gelu(h, approximate=(jnp.dtype(dtype) == jnp.bfloat16))
-    h = dropout(h, dropout_rate, r1, deterministic)
+    h = dropout(h, dropout_rate, r1, deterministic, fused_ok=elem_ok)
     h = linear(params["fc2"], h, dtype)
-    return dropout(h, dropout_rate, r2, deterministic)
+    return dropout(h, dropout_rate, r2, deterministic, fused_ok=elem_ok)
 
 
 # -- Classifier-head MLPs (ReLU stacks; reference model.py:252-288) -----------
@@ -152,6 +159,7 @@ def head_apply(
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     dtype: jnp.dtype = jnp.float32,
+    fused_dropout_ok: bool = True,
 ) -> jax.Array:
     """Linear -> ReLU -> Dropout between every pair; final Linear bare."""
     n = len(params)
@@ -160,5 +168,6 @@ def head_apply(
         x = linear(params[f"fc{i}"], x, dtype)
         if i < n - 1:
             x = jax.nn.relu(x)
-            x = dropout(x, dropout_rate, rngs[i], deterministic)
+            x = dropout(x, dropout_rate, rngs[i], deterministic,
+                        fused_ok=fused_dropout_ok)
     return x

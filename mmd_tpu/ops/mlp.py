@@ -203,15 +203,18 @@ def _fused_mlp_core(x2, w1, b1, w2, b2, seed, rate):
 
 def _fused_mlp_core_fwd(x2, w1, b1, w2, b2, seed, rate):
     y = _mlp_fwd_call(x2, w1, b1, w2, b2, seed, rate)
-    return y, (x2, w1, b1, w2, seed)
+    # b2 rides along only so the backward can cast db2 to ITS dtype (b1 and
+    # b2 are both f32 at the fused_mlp call site today, but the cotangent
+    # dtype must track its primal if that ever diverges); (d,) is free.
+    return y, (x2, w1, b1, w2, b2, seed)
 
 
 def _fused_mlp_core_bwd(rate, res, g):
-    x2, w1, b1, w2, seed = res
+    x2, w1, b1, w2, b2, seed = res
     dx, dw1, db1, dw2, db2 = _mlp_bwd_call(x2, w1, b1, w2,
                                            g.astype(x2.dtype), seed, rate)
     return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b1.dtype), None)
+            dw2.astype(w2.dtype), db2.astype(b2.dtype), None)
 
 
 _fused_mlp_core.defvjp(_fused_mlp_core_fwd, _fused_mlp_core_bwd)
@@ -220,9 +223,21 @@ _fused_mlp_core.defvjp(_fused_mlp_core_fwd, _fused_mlp_core_bwd)
 def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
               b2: jax.Array, rate: float = 0.0,
               rng: Optional[jax.Array] = None,
-              dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
+              dtype: jnp.dtype = jnp.bfloat16,
+              tp_mesh=None, data_axis: str = "data",
+              model_axis: str = "model") -> jax.Array:
     """(..., D) -> (..., D) through Linear-GELU-Dropout-Linear-Dropout in
-    one kernel. `rng` seeds the in-kernel PRNG when rate > 0."""
+    one kernel. `rng` seeds the in-kernel PRNG when rate > 0.
+
+    With `tp_mesh`, the kernel runs device-locally under jax.shard_map over
+    a Megatron column/row split (w1 (D, F) sharded P(None, model), b1
+    P(model), w2 (F, D) P(model, None), b2 replicated; rows over `data`):
+    each device computes a full-D partial with b2/tp, and a psum over the
+    model axis reconstructs the output EXACTLY because the final dropout
+    mask is drawn from a model-replicated seed (identical on every model
+    rank, so mask ⊙ Σ partials == Σ mask ⊙ partials). The mid (hidden-dim)
+    dropout reuses that seed per local F/tp slice — keep decisions repeat
+    across model ranks, a documented statistical correlation, not a bias."""
     shape = x.shape
     d = shape[-1]
     x2 = x.reshape(-1, d).astype(dtype)
@@ -231,6 +246,28 @@ def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
         seed = jax.random.bits(rng, (1,), jnp.uint32).astype(jnp.int32)
     else:
         seed = jnp.zeros((1,), jnp.int32)
-    y = _fused_mlp_core(x2, w1.astype(dtype), b1.astype(jnp.float32),
-                        w2.astype(dtype), b2.astype(jnp.float32), seed, rate)
+    w1c, b1c = w1.astype(dtype), b1.astype(jnp.float32)
+    w2c, b2c = w2.astype(dtype), b2.astype(jnp.float32)
+    if tp_mesh is None:
+        y = _fused_mlp_core(x2, w1c, b1c, w2c, b2c, seed, rate)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from mmd_tpu.ops.attention import _fold_seed
+
+        tp = tp_mesh.shape[model_axis]
+        rows = P(data_axis, None)
+
+        def body(seed_, x_, w1_, b1_, w2_, b2_):
+            s = _fold_seed(seed_, data_axis)   # NOT model: see docstring
+            y_p = _fused_mlp_core(x_, w1_, b1_, w2_,
+                                  b2_ * (1.0 / tp), s, rate)
+            return jax.lax.psum(y_p, model_axis) if tp > 1 else y_p
+
+        y = jax.shard_map(
+            body, mesh=tp_mesh,
+            in_specs=(P(), rows, P(None, model_axis), P(model_axis),
+                      P(model_axis, None), P()),
+            out_specs=rows, check_vma=False,
+        )(seed, x2, w1c, b1c, w2c, b2c)
     return y.reshape(shape)

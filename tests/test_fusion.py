@@ -229,3 +229,20 @@ def test_param_count_matches_analytic():
              + 8 * 2 * d + 2 * (lin(d, d * r) + lin(d * r, d)))
     heads = 4 * (lin(d, hd) + lin(hd, c))
     assert m.param_count(p) == rep + cross + heads
+
+
+def test_merged_paths_match_unmerged(rng):
+    """merged_paths=True (two shared-K/V attention calls with concatenated,
+    128-padded queries) is the SAME math as the four separate path
+    attentions — padding rows are sliced away before the out-projections."""
+    cfg = _cfg(merged_paths=False)
+    cfg_m = _cfg(merged_paths=True)
+    model = MisinformationDetectionModel(cfg)
+    params = model.init(jax.random.key(0))
+    x = _inputs(rng)
+    (a_tt, a_ti), (a_it, a_ii) = model.apply(params, *x)
+    model_m = MisinformationDetectionModel(cfg_m)
+    (b_tt, b_ti), (b_it, b_ii) = model_m.apply(params, *x)
+    for a, b in ((a_tt, b_tt), (a_ti, b_ti), (a_it, b_it), (a_ii, b_ii)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)

@@ -116,6 +116,61 @@ def test_tp_grads_match_replicated(mesh_tp, rng):
             err_msg=jax.tree_util.keystr(path_r))
 
 
+def test_tp_fused_kernels_match_replicated(mesh_tp, rng):
+    """Round-3: with a tp_mesh the Pallas flash-attention kernels run
+    device-locally under shard_map (each device owns num_heads/tp whole
+    heads) instead of falling back to jnp — grads match the unmapped fused
+    path. dh = 128/4 = 32 so the fused path actually engages (interpret
+    mode off-TPU)."""
+    from jax.sharding import NamedSharding
+    from mmd_tpu.training.trainer import _loss_fn
+
+    model = ModelConfig(
+        text_input_dim=16, image_input_dim=24, embed_dim=128, num_heads=4,
+        hidden_dim=16, compute_dtype="float32", dropout=0.0, fused_attn=True)
+    cfg = TrainConfig(model=model, batch_size=16,
+                      data=DataConfig(text_seq_len=128, image_seq_len=64))
+    tp_model = dataclasses.replace(model, tensor_parallel=True)
+    params = init_state(cfg, jax.random.key(0)).params
+    batch = synthetic_preembed_batch(rng, 16, text_seq=128, image_seq=64,
+                                     text_dim=16, image_dim=24)
+    b = jax.device_put(batch, NamedSharding(mesh_tp, P("data")))
+
+    f_repl = jax.jit(jax.grad(
+        lambda p, b: _loss_fn(p, model, b, None, deterministic=True)[0]))
+    g_repl = f_repl(jax.device_put(params, NamedSharding(mesh_tp, P())), b)
+    f_tp = jax.jit(jax.grad(
+        lambda p, b: _loss_fn(p, tp_model, b, None, deterministic=True,
+                              tp_mesh=mesh_tp)[0]))
+    g_tp = f_tp(tp.shard_tree(params, mesh_tp), b)
+    for (pr, lr), (pt, lt) in zip(
+            jax.tree_util.tree_leaves_with_path(g_repl),
+            jax.tree_util.tree_leaves_with_path(g_tp)):
+        assert pr == pt
+        np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                                   rtol=5e-4, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pr))
+
+
+def test_fused_mlp_tp_matches_dense(mesh_tp, rng):
+    """fused_mlp under shard_map (fc1 column- / fc2 row-sharded, partials
+    psummed with b2/tp) equals the unmapped kernel at rate=0."""
+    import jax.numpy as jnp
+    from mmd_tpu.ops.mlp import fused_mlp
+
+    x = rng.standard_normal((16, 8, 128)).astype(np.float32)
+    w1 = (rng.standard_normal((128, 256)) * 0.05).astype(np.float32)
+    b1 = (rng.standard_normal(256) * 0.1).astype(np.float32)
+    w2 = (rng.standard_normal((256, 128)) * 0.05).astype(np.float32)
+    b2 = (rng.standard_normal(128) * 0.1).astype(np.float32)
+    y_plain = jax.jit(lambda *a: fused_mlp(*a, rate=0.0, dtype=jnp.float32))(
+        x, w1, b1, w2, b2)
+    y_tp = jax.jit(lambda *a: fused_mlp(*a, rate=0.0, dtype=jnp.float32,
+                                        tp_mesh=mesh_tp))(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_plain),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_tp_state_stays_sharded_across_steps(mesh_tp, rng):
     """The jitted step's out_shardings hold the TP layout — params AND
     AdamW moments stay split over "model" after updates (no silent
