@@ -6,8 +6,8 @@ import numpy as np
 import pytest
 
 from mmd_tpu.data.spm import (
-    CONTROL, NORMAL, UNKNOWN, UnigramTokenizer, build_spm_model,
-    parse_spm_model,
+    CONTROL, NORMAL, UNKNOWN, PrecompiledCharsmap, UnigramTokenizer,
+    build_charsmap, build_spm_model, parse_spm_model, parse_spm_model_full,
 )
 
 FIXTURES = [
@@ -131,6 +131,111 @@ def test_save_load_round_trip(tmp_path):
     tok.save(tmp_path / "spm.json")
     tok2 = UnigramTokenizer.load(tmp_path / "spm.json")
     for text in FIXTURES:
+        assert tok.tokenize_ids(text) == tok2.tokenize_ids(text)
+
+
+# -- precompiled charsmap (nmt_nfkc) -------------------------------------------
+# Rules shaped like the real nmt_nfkc table: single-codepoint (or single-
+# grapheme combining-sequence) sources — fullwidth forms, ligatures,
+# enclosed digits, unicode spaces, control removals, NFC composition.
+
+CHARSMAP_RULES = {
+    " ": " ",            # NBSP -> space
+    "　": " ",            # ideographic space
+    "\t": " ",
+    "\n": " ",
+    "": "",             # control char removed
+    "‍": "",             # zero-width joiner removed
+    "Ａ": "A",            # fullwidth A
+    "Ｂ": "B",
+    "．": ".",            # fullwidth full stop
+    "①": "1",            # circled digit one
+    "é": "é",           # combining acute -> composed (one grapheme)
+    "ﬁ": "fi",           # ligature fi
+    "㍿": "株式会社",      # square corporation -> 4 CJK chars
+    "é": "é",            # identity rule (composed stays composed)
+}
+
+CHARSMAP_FIXTURES = [
+    "ＡＢC mixed width",
+    "école française",       # combining marks (ç has no rule)
+    "ﬁsh and ① chips",
+    "foo bar　baz",
+    "ctrlremoved‍here",
+    "日本語テスト ㍿ 2026",
+    "tabs\tand\nnewlines",
+    "plain ascii unchanged.",
+    "",
+    "ééé composed identity",
+]
+
+
+def test_charsmap_matches_rust_precompiled_oracle():
+    """Our darts-clone builder + byte-longest-prefix matcher agree with the
+    independent Rust implementation (tokenizers.normalizers.Precompiled,
+    the engine HF uses to apply real spm charsmaps)."""
+    pytest.importorskip("tokenizers")
+    from tokenizers.normalizers import Precompiled
+
+    blob = build_charsmap(CHARSMAP_RULES)
+    ours = PrecompiledCharsmap(blob)
+    oracle = Precompiled(blob)
+    for text in CHARSMAP_FIXTURES:
+        assert ours.normalize(text) == oracle.normalize_str(text), text
+
+
+def test_charsmap_longest_prefix_and_unmatched_copy():
+    blob = build_charsmap(CHARSMAP_RULES)
+    cm = PrecompiledCharsmap(blob)
+    # combining sequence consumes BOTH codepoints (longest match), while a
+    # bare 'e' (no rule) copies through
+    assert cm.normalize("ée") == "ée"
+    # unmatched multi-byte chars copy through unchanged
+    assert cm.normalize("☃") == "☃"
+    assert cm.normalize("ＡＢ") == "AB"
+
+
+def test_charsmap_proto_round_trip_and_tokenize_parity():
+    """ModelProto round-trips the charsmap; the full tokenize pipeline with
+    charsmap normalization matches the HF-tokenizers pipeline driven by the
+    SAME blob (the exact configuration DebertaV2 SpmConverter builds from a
+    real spm.model)."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, normalizers, pre_tokenizers
+    from tokenizers.models import Unigram
+
+    cm_blob = build_charsmap(CHARSMAP_RULES)
+    pieces = make_pieces()
+    blob = build_spm_model(pieces, charsmap=cm_blob)
+    got_pieces, got_cm = parse_spm_model_full(blob)
+    assert got_cm == cm_blob
+    assert [p for p, _, _ in got_pieces] == [p for p, _, _ in pieces]
+
+    ours = UnigramTokenizer.from_spm_model(blob)
+    assert ours.charsmap is not None
+    vocab = [(p, s) for p, s, _ in got_pieces]
+    oracle = Tokenizer(Unigram(vocab, unk_id=3, byte_fallback=False))
+    oracle.normalizer = normalizers.Sequence([
+        normalizers.Precompiled(cm_blob),
+        normalizers.Replace(tokenizers.Regex(r" {2,}"), " "),
+        normalizers.Strip(),
+    ])
+    oracle.pre_tokenizer = pre_tokenizers.Metaspace(
+        replacement="▁", prepend_scheme="always")
+    for text in FIXTURES + CHARSMAP_FIXTURES:
+        want = oracle.encode(text).ids
+        got = ours.tokenize_ids(text)
+        assert got == want, (text, ours.tokenize(text),
+                             oracle.encode(text).tokens)
+
+
+def test_charsmap_save_load_round_trip(tmp_path):
+    tok = UnigramTokenizer(make_pieces(), charsmap=build_charsmap(
+        CHARSMAP_RULES))
+    tok.save(tmp_path / "spm.json")
+    tok2 = UnigramTokenizer.load(tmp_path / "spm.json")
+    assert tok2.charsmap is not None
+    for text in FIXTURES + CHARSMAP_FIXTURES:
         assert tok.tokenize_ids(text) == tok2.tokenize_ids(text)
 
 
