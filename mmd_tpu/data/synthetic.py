@@ -113,11 +113,20 @@ def synthetic_factify_tree(
                         arr = rng.integers(0, 255, shape, dtype=np.uint8)
                     Image.fromarray(arr).save(img_dir / f"{i}_{kind}.jpg")
             if learnable:
+                # The category words are repeated so they dominate the
+                # per-id entity/topic tokens: with a single occurrence the
+                # 4-path classifier memorizes sample-unique tokens instead
+                # of the category signal and the text_text path (the only
+                # one without the image tint) fails to generalize
+                # (round-2 VERDICT weak #3: 0.538 test accuracy at 0.009
+                # train loss).
                 words = CAT_SIGNAL_WORDS[cat]
                 claim_txt = (f"claim entity{split}{i} reports {words} "
-                             f"news about topic {i % 5}")
+                             f"news about topic {i % 5} rated {words} "
+                             f"overall {words}")
                 ev_txt = (f"evidence entity{split}{i} is {words} "
-                          f"coverage discussing topic {i % 5} in detail")
+                          f"coverage discussing topic {i % 5} in detail "
+                          f"rated {words} overall {words}")
             else:
                 claim_txt = f"claim text number {i} about topic {i % 5}"
                 ev_txt = (f"evidence document {i} discussing topic "
