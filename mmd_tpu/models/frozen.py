@@ -75,7 +75,15 @@ def load_or_init_frozen(
     vocab_size: int = 30000,
     seed: int = 0,
     tiny: bool = False,
+    reference_families: bool = False,
 ) -> FrozenEncoders:
+    """`reference_families=True` makes the seeded-init fallbacks use the
+    reference's ACTUAL encoder architectures (DeBERTa-v3-xsmall disentangled
+    attention + Swinv2-base shifted windows — reference train.py:47,
+    preprocess_embeddings.py:26-28) instead of the faster BERT-class/ViT
+    substitutes, so pipeline measurements price the real encoder math even
+    without converted weights. Converted checkpoints still take priority
+    either way."""
     assets = Path(assets_dir)
     assets.mkdir(parents=True, exist_ok=True)
 
@@ -119,6 +127,12 @@ def load_or_init_frozen(
         text_cfg = DebertaConfig(
             **_json.loads((assets / "deberta_config.json").read_text()))
         text_params = deberta_params
+    elif reference_families and not tiny:
+        from mmd_tpu.models import deberta as D
+        text_cfg = dataclasses.replace(
+            D.DEBERTA_V3_XSMALL, vocab_size=max(tokenizer.vocab_size, 128),
+            compute_dtype="bfloat16")
+        text_params = D.init_deberta(jax.random.key(seed), text_cfg)
     else:
         text_params = _load_ckpt(assets / "text_encoder.ckpt")
         if text_params is None:
@@ -130,6 +144,10 @@ def load_or_init_frozen(
         from mmd_tpu.models.swin import SwinConfig
         vit_cfg = SwinConfig(
             **_json.loads((assets / "swinv2_config.json").read_text()))
+    elif reference_families and not tiny:
+        from mmd_tpu.models import swin as SW
+        vit_cfg = SW.SWIN_BASE_256
+        vit_params = SW.init_swin(jax.random.key(seed + 1), vit_cfg)
     else:
         vit_params = _load_ckpt(assets / "vit.ckpt")
         if vit_params is None:

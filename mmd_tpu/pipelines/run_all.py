@@ -32,6 +32,16 @@ def main():
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--embed_dim", type=int, default=256)
     p.add_argument("--top_k", type=int, default=3)
+    p.add_argument("--image_size", type=int, default=None,
+                   help="synthetic image size (default 64; use 256 to price "
+                        "production host decode)")
+    p.add_argument("--reference_encoders", action="store_true",
+                   help="seeded DeBERTa-v3-xsmall + Swinv2-base (the "
+                        "reference's actual encoder families) instead of "
+                        "the BERT-class/ViT substitutes")
+    p.add_argument("--timings_json", type=str, default=None,
+                   help="dump per-stage wall-clock timings (plus row "
+                        "counts) as JSON for BENCHMARKS.md")
     args = p.parse_args()
 
     from mmd_tpu.core.profiling import Stages
@@ -42,7 +52,8 @@ def main():
         root = Path(args.root or "/tmp/mmd_pipeline")
         with stages.stage("synthesize"):
             synthetic_factify_tree(root, n_train=args.synthetic,
-                                   n_test=max(args.synthetic // 4, 4))
+                                   n_test=max(args.synthetic // 4, 4),
+                                   image_size=args.image_size or 64)
         os.environ["MMD_TPU_ROOT"] = str(root)
     else:
         root = Path(args.root) if args.root else None
@@ -66,7 +77,8 @@ def main():
         df = pd.read_csv(train_csv)
         texts = (df["claim"].fillna("").astype(str).tolist()
                  + df["evidence"].fillna("").astype(str).tolist())
-        enc = load_or_init_frozen(assets, vocab_texts=texts, tiny=args.tiny)
+        enc = load_or_init_frozen(assets, vocab_texts=texts, tiny=args.tiny,
+                                  reference_families=args.reference_encoders)
 
     # 2. caption enrichment
     from mmd_tpu.models.captioner import CAPTIONER_TEST
@@ -159,6 +171,21 @@ def main():
           f"{result.final_classification} "
           f"({len(result.evidences)} evidences, caption={result.caption!r})")
     print(stages.report())
+    if args.timings_json:
+        import json
+        import time as _time
+        doc = {
+            "date": _time.strftime("%Y-%m-%d"),
+            "args": {k: v for k, v in vars(args).items()},
+            "n_train_rows": int(len(train_store)),
+            "n_test_rows": int(len(test_store)),
+            "text_encoder": type(enc.text_cfg).__name__,
+            "image_encoder": type(enc.vit_cfg).__name__,
+            "stages_sec": {k: round(v, 2)
+                           for k, v in stages.summary().items()},
+        }
+        Path(args.timings_json).write_text(json.dumps(doc, indent=1))
+        print(f"[run_all] timings -> {args.timings_json}")
 
 
 if __name__ == "__main__":
