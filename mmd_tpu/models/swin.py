@@ -65,6 +65,12 @@ class SwinConfig:
     layer_norm_eps: float = 1e-5
     pretrained_window_sizes: tuple = (0, 0, 0, 0)
     compute_dtype: str = "bfloat16"
+    # Fused Pallas window attention (ops/swin_attention.py): MXU
+    # head-packed (every Swinv2-base stage has dh = 32 -> 4 heads per
+    # matmul), scores/softmax/context in VMEM. Output-equal to the einsum
+    # path; engages per block when the geometry qualifies (dh >= 32,
+    # 128 % dh == 0, 64-token windows).
+    fused_attn: bool = False
 
     def __post_init__(self):
         self.depths = tuple(self.depths)
@@ -272,8 +278,62 @@ def _cosine_window_attention(bp: dict, x: jax.Array, heads: int,
     return L.linear(bp["attn_out"], ctx, dtype)
 
 
+_LOG2E = 1.4426950408889634
+
+
+def _cosine_window_attention_fused(bp: dict, x: jax.Array, heads: int,
+                                   bias: jax.Array,
+                                   mask: Optional[jax.Array],
+                                   batch: int, dtype) -> jax.Array:
+    """Same math as _cosine_window_attention through the Pallas kernel:
+    normalization, the per-head clamped logit scale, and the exp2 base
+    change fold into the q operand OUTSIDE; CPB + the doubled shift mask
+    combine into one (nW, h, n, n) log2-domain bias selected per window by
+    the kernel grid."""
+    from mmd_tpu.ops.swin_attention import swin_window_attention
+
+    bw, n, c = x.shape
+    dh = c // heads
+    nw = bw // batch
+    q = L.linear(bp["q"], x, dtype)
+    k = jnp.dot(x.astype(dtype), bp["k"]["w"].astype(dtype),
+                preferred_element_type=jnp.float32).astype(dtype)
+    v = L.linear(bp["v"], x, dtype)
+
+    def nrm(t):
+        th = t.reshape(bw, n, heads, dh).astype(jnp.float32)
+        return th / jnp.maximum(
+            jnp.linalg.norm(th, axis=-1, keepdims=True), 1e-12)
+
+    scale = jnp.exp(jnp.minimum(bp["logit_scale"].astype(jnp.float32),
+                                math.log(1.0 / 0.01)))
+    qh = (nrm(q) * (scale * _LOG2E)[None, None, :, None]
+          ).reshape(bw, n, c).astype(dtype)
+    kh = nrm(k).reshape(bw, n, c).astype(dtype)
+    tot = bias * _LOG2E                                   # (h, n, n)
+    if mask is not None:
+        tot = tot[None] + (2.0 * _LOG2E) * mask[:, None]  # HF adds it twice
+    else:
+        tot = jnp.broadcast_to(tot[None], (nw, heads, n, n))
+
+    def to_wb(t):
+        return t.reshape(batch, nw, n, c).transpose(1, 0, 2, 3)
+
+    out = swin_window_attention(to_wb(qh), to_wb(kh),
+                                to_wb(v.astype(dtype)), tot, heads)
+    out = out.transpose(1, 0, 2, 3).reshape(bw, n, c)
+    return L.linear(bp["attn_out"], out, dtype)
+
+
+def _fused_ok(window: int, dh: int) -> bool:
+    n = window * window
+    return (dh >= 32 and 128 % dh == 0
+            and n % 8 == 0 and ((128 // dh) * n) % 128 == 0)
+
+
 def _block(bp: dict, x: jax.Array, res: int, heads: int, window: int,
-           shift: int, pretrained_window: int, eps: float, dtype) -> jax.Array:
+           shift: int, pretrained_window: int, eps: float, dtype,
+           fused: bool = False) -> jax.Array:
     """One Swinv2 block on (B, res*res, C). Post-norm residual order."""
     b, _, c = x.shape
     shortcut = x
@@ -284,7 +344,12 @@ def _block(bp: dict, x: jax.Array, res: int, heads: int, window: int,
     bias = _position_bias(bp, window, pretrained_window, heads)
     mask = shift_attn_mask(res, window, shift)
     mask = jnp.asarray(mask) if mask is not None else None
-    attn = _cosine_window_attention(bp, windows, heads, bias, mask, b, dtype)
+    if fused and _fused_ok(window, c // heads):
+        attn = _cosine_window_attention_fused(bp, windows, heads, bias,
+                                              mask, b, dtype)
+    else:
+        attn = _cosine_window_attention(bp, windows, heads, bias, mask, b,
+                                        dtype)
     h = _window_reverse(attn, window, res, res)
     if shift > 0:
         h = jnp.roll(h, (shift, shift), axis=(1, 2))
@@ -327,7 +392,8 @@ def swin_forward(params: dict, cfg: SwinConfig, images: jax.Array) -> jax.Array:
         for i, bp in enumerate(stage["blocks"]):
             window, shift = cfg.stage_window_shift(s, i)
             x = _block(bp, x, res, cfg.num_heads[s], window, shift,
-                       cfg.pretrained_window_sizes[s], eps, dtype)
+                       cfg.pretrained_window_sizes[s], eps, dtype,
+                       fused=cfg.fused_attn)
         if "downsample" in stage:
             x = _patch_merge(stage["downsample"], x, res, eps, dtype)
     return L.layernorm(params["ln_final"], x, eps)

@@ -1,0 +1,124 @@
+"""Fused Swinv2 window-attention kernel (forward-only, Pallas).
+
+The reference embeds images with Swinv2-base (reference
+src/data_loader/preprocess_embeddings.py:26-28); models/swin.py re-derives
+it exactly but runs window attention as XLA einsums over (B*nW, 64, C)
+windows whose per-head matmuls contract over dh = 32 — a quarter of the
+MXU's 128-wide contraction, plus f32 relayouts for the cosine normalize
+and (64, 64) softmax tiles that pad to 128 lanes. This kernel applies the
+same MXU head-packing as ops/attention.py (g = 128/dh = 4 heads per
+block-diagonal matmul — every Swinv2-base stage has dh = 32) and keeps
+the whole score -> bias -> softmax -> context chain in VMEM.
+
+Division of labor (chosen so the kernel stays small and fwd-only — the
+encoder is frozen; embed/eval are forward passes and the raw train path
+wraps it in stop_gradient):
+  * OUTSIDE (XLA): q/k/v projections (good GEMMs), cosine normalization
+    with the per-head clamped logit scale and the exp2 base change folded
+    into q', and the combined additive bias (CPB + the HF double-counted
+    shift mask) per (window, head).
+  * INSIDE (Pallas): packed QK^T, shared-group max, per-segment
+    exp2(s + bias - m), per-head sum, packed PV, deferred division.
+
+Layout: windows transpose to (nW, B, n, C) so every program's rows share
+ONE window index and the (nW, h, n, n) bias block is selected by the
+grid's window coordinate — the bias never exists per-(B*nW) in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mmd_tpu.ops.attention import _pack_blockdiag
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int):
+    """Blocks: q/k/v/o (1, GB, n, C), bias (1, h, n, n) f32. q arrives
+    pre-normalized and pre-scaled (cosine attention's logit scale and the
+    log2(e) base change folded in); k pre-normalized."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    n = q.shape[1]
+    dh = q.shape[-1] // heads
+    g = 128 // dh if (dh < 128 and 128 % dh == 0) else 1
+    while g > 1 and heads % g != 0:
+        g //= 2
+    for h0 in range(0, heads, g):
+        cols = slice(h0 * dh, (h0 + g) * dh)
+        kp = _pack_blockdiag(k, h0, g, dh)               # (GB, g*n, g*dh)
+        s = jax.lax.dot_general(
+            q[:, :, cols], kp, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (GB, n, g*n)
+        # Shared max over the group row is exact: each head's own softmax
+        # subtracts it back out through its segment sum. Bias folds into
+        # the exp2 argument per segment (see ops/attention.py) — biases
+        # here are bounded (16*sigmoid CPB, -200 shift mask), so the
+        # raw-max envelope holds by construction.
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p_segs = [
+            jnp.exp2(s[:, :, j * n:(j + 1) * n]
+                     + bias_ref[0, h0 + j][None] - m)
+            for j in range(g)
+        ]
+        ls = [jnp.sum(p, axis=-1, keepdims=True) for p in p_segs]
+        p16 = (jnp.concatenate(p_segs, axis=-1) if g > 1
+               else p_segs[0]).astype(v.dtype)
+        vp = _pack_blockdiag(v, h0, g, dh)
+        o = jax.lax.dot_general(
+            p16, vp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (GB, n, g*dh)
+        linv = jnp.concatenate(
+            [jnp.broadcast_to(1.0 / jnp.maximum(ls[j], 1e-37),
+                              (*ls[j].shape[:2], dh)) for j in range(g)],
+            axis=-1)
+        o_ref[0, :, :, cols] = (o * linv).astype(o_ref.dtype)
+
+
+def _rows_per_block(b: int, n: int, c: int, heads: int, itemsize: int) -> int:
+    dh = c // heads
+    g = 128 // dh if (dh < 128 and 128 % dh == 0) else 1
+    while g > 1 and heads % g != 0:
+        g //= 2
+    per_row = (4 * n * c * itemsize * 2            # q/k/v/o double-buffered
+               + 3 * 4 * n * g * n                 # s/p/f32 temps per group
+               + 2 * itemsize * g * n * max(g * dh, 128))   # packed k/v
+    gb = b
+    while gb > 1 and (gb * per_row > _VMEM_BUDGET or b % gb != 0):
+        gb //= 2
+    while b % gb != 0:
+        gb //= 2
+    return max(gb, 1)
+
+
+def swin_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          bias: jax.Array, heads: int) -> jax.Array:
+    """q/k/v (nW, B, n, C) — q pre-scaled by scale*log2(e), q/k L2-normalized
+    per head; bias (nW, h, n, n) f32 additive logits (log2 domain NOT
+    applied — pass bias*log2(e)). Returns (nW, B, n, C)."""
+    nw, b, n, c = q.shape
+    gb = _rows_per_block(b, n, c, heads, q.dtype.itemsize)
+    blk = pl.BlockSpec((1, gb, n, c), lambda i, j: (i, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bias_blk = pl.BlockSpec((1, heads, n, n), lambda i, j: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, heads=heads),
+        out_shape=jax.ShapeDtypeStruct((nw, b, n, c), q.dtype),
+        grid=(nw, b // gb),
+        in_specs=[blk, blk, blk, bias_blk],
+        out_specs=blk,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nw * b * n * n * c,
+            bytes_accessed=4 * nw * b * n * c * q.dtype.itemsize,
+            transcendentals=nw * b * heads * n * n,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, bias)

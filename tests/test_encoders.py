@@ -181,3 +181,24 @@ def test_frozen_resolver_prefers_converted_swinv2(rng, tmp_path):
         want = hf(pixel_values=torch.tensor(
             imgs.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_swin_fused_window_attention_matches_einsum(rng):
+    """fused_attn=True routes qualifying blocks (dh >= 32, 64-token
+    windows) through the Pallas window-attention kernel — outputs equal
+    the einsum path (interpret mode off-TPU). Geometry mirrors Swinv2-base
+    stage 0 (window 8, dh 32) including a SHIFTED second block."""
+    import dataclasses
+    from mmd_tpu.models import swin as S
+
+    cfg = S.SwinConfig(image_size=64, patch_size=4, embed_dim=128,
+                       depths=(2,), num_heads=(4,), window_size=8,
+                       pretrained_window_sizes=(0,),
+                       compute_dtype="float32")
+    assert cfg.stage_window_shift(0, 1)[1] > 0   # shifted block exercised
+    params = S.init_swin(jax.random.key(3), cfg)
+    imgs = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    ref = np.asarray(S.swin_forward(params, cfg, imgs))
+    fused = np.asarray(S.swin_forward(
+        params, dataclasses.replace(cfg, fused_attn=True), imgs))
+    np.testing.assert_allclose(fused, ref, rtol=2e-5, atol=2e-5)
