@@ -35,6 +35,10 @@ REPO = Path(__file__).resolve().parent.parent
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--swin", action="store_true",
+                   help="use the exact Swinv2-base image encoder (the "
+                        "reference's) instead of the ViT substitute; "
+                        "records raw_train_swin_samples_per_sec")
     args = p.parse_args()
 
     import jax
@@ -52,11 +56,17 @@ def main():
     RB = args.batch
     import dataclasses as _dc
     dcfg = _dc.replace(D.DEBERTA_V3_XSMALL, compute_dtype="bfloat16")
-    vcfg = V.ViTConfig()
+    if args.swin:
+        from mmd_tpu.models import swin as SW
+        vcfg = _dc.replace(SW.SWIN_BASE_256, fused_attn=True)
+        vparams = SW.init_swin(jax.random.key(4), vcfg)
+    else:
+        vcfg = V.ViTConfig()
+        vparams = V.init_vit(jax.random.key(4), vcfg)
     enc = FrozenEncoders(
         tokenizer=None, text_cfg=dcfg,
         text_params=D.init_deberta(jax.random.key(3), dcfg),
-        vit_cfg=vcfg, vit_params=V.init_vit(jax.random.key(4), vcfg))
+        vit_cfg=vcfg, vit_params=vparams)
     cfg = TrainConfig(model=ModelConfig(fused_attn=True,
                                         compute_dtype="bfloat16"),
                       batch_size=RB)
@@ -118,7 +128,9 @@ def main():
 
     rj = REPO / "benchmarks" / "results.json"
     out = json.loads(rj.read_text()) if rj.exists() else {}
-    out["raw_train_samples_per_sec"] = round(rate, 1)
+    key = ("raw_train_swin_samples_per_sec" if args.swin
+           else "raw_train_samples_per_sec")
+    out[key] = round(rate, 1)
     out["raw_train_batch"] = RB
     rj.write_text(json.dumps(out, indent=1))
     from bench_suite import write_markdown

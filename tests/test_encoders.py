@@ -202,3 +202,19 @@ def test_swin_fused_window_attention_matches_einsum(rng):
     fused = np.asarray(S.swin_forward(
         params, dataclasses.replace(cfg, fused_attn=True), imgs))
     np.testing.assert_allclose(fused, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_reference_families_resolver(tmp_path):
+    """load_or_init_frozen(reference_families=True) seeds the reference's
+    actual encoder architectures (DeBERTa + Swinv2) when no converted
+    checkpoints exist."""
+    from mmd_tpu.models.deberta import DebertaConfig
+    from mmd_tpu.models.frozen import load_or_init_frozen
+    from mmd_tpu.models.swin import SwinConfig
+
+    enc = load_or_init_frozen(tmp_path, vocab_texts=["some corpus text"],
+                              vocab_size=300, reference_families=True)
+    assert isinstance(enc.text_cfg, DebertaConfig)
+    assert isinstance(enc.vit_cfg, SwinConfig)
+    assert enc.text_cfg.vocab_size >= 128
+    assert enc.vit_cfg.num_tokens == 64 and enc.vit_cfg.hidden_size == 1024
