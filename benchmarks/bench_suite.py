@@ -330,6 +330,37 @@ def write_markdown(out: dict) -> None:
         "",
     ]
 
+    # MEASURED end-to-end run (pipelines/run_all.py --timings_json), when
+    # one has been recorded — wall-clocks, not stage-rate arithmetic.
+    pt = REPO / "benchmarks" / "pipeline_timings.json"
+    if pt.exists():
+        doc = json.loads(pt.read_text())
+        st = doc["stages_sec"]
+        total = sum(v for k, v in st.items() if k != "synthesize")
+        lines += [
+            "## Measured end-to-end run "
+            f"({doc.get('date', '?')}, `pipelines/run_all.py`)",
+            "",
+            f"{doc.get('n_train_rows', '?')} train / "
+            f"{doc.get('n_test_rows', '?')} test rows embedded, "
+            f"{doc.get('text_encoder', '?')} + {doc.get('image_encoder', '?')}"
+            f" encoders, epochs={doc.get('args', {}).get('epochs', '?')}, "
+            f"batch={doc.get('args', {}).get('batch_size', '?')} "
+            "(source: benchmarks/pipeline_timings.json; regenerate with "
+            "`python -m mmd_tpu.pipelines.run_all --synthetic 35000 "
+            "--image_size 256 --reference_encoders --timings_json "
+            "benchmarks/pipeline_timings.json`).",
+            "",
+            "| Stage | Measured wall-clock |",
+            "|---|---|",
+        ] + [
+            f"| {k} | {v:,.1f} s |"
+            for k, v in sorted(st.items(), key=lambda x: -x[1])
+        ] + [
+            f"| **total (excl. synthesize)** | **{total/60:,.1f} min** |",
+            "",
+        ]
+
     # Multi-chip projection (hardware here is one chip; semantics verified
     # on the 8-device virtual mesh instead of measured)
     step_ms = 256_000.0 / out["fusion_train_samples_per_sec"]
