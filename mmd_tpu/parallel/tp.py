@@ -155,6 +155,33 @@ def zero1_specs(state: Any, data_size: int) -> Any:
     return state._replace(step=P(), params=repl, opt_state=opt, rng=P())
 
 
+def tp_zero1_specs(state: Any, data_size: int) -> Any:
+    """TP + ZeRO-1 composed: params carry the Megatron TP specs
+    (state_specs); the AdamW moments keep their TP axis AND additionally
+    shard their first TP-free dim over "data" when it divides — e.g. the
+    moment of a column-sharded (d, d/tp) weight lives P("data", "model"),
+    1/(dp*tp) per device. Scalars/odd dims stay as their TP spec."""
+    from mmd_tpu.core.mesh import DATA_AXIS
+
+    full = state_specs(state)
+
+    def opt_spec(path, leaf):
+        base = _kind_spec(_split_kind(path), leaf)
+        shape = getattr(leaf, "shape", ())
+        if not shape:
+            return base
+        dims = list(base) + [None] * (len(shape) - len(base))
+        for i, d in enumerate(dims):
+            if d is None and shape[i] % data_size == 0 and shape[i] > 0:
+                dims[i] = DATA_AXIS
+                break
+        return P(*dims)
+
+    opt = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)
+    return state._replace(step=P(), params=full.params, opt_state=opt,
+                          rng=P())
+
+
 def validate_tp_config(mcfg, mesh: Mesh) -> None:
     tp = mesh.shape[MODEL_AXIS]
     if mcfg.num_heads % tp != 0:

@@ -141,7 +141,8 @@ def make_train_step(
 
 
 def make_encoding_raw_step(cfg: TrainConfig, enc,
-                           optimizer: Optional[optax.GradientTransformation] = None):
+                           optimizer: Optional[optax.GradientTransformation] = None,
+                           tp_mesh=None):
     """Unjitted encoder-in-step train step (state, frozen, batch) -> (state, aux).
 
     RAW batches: the frozen text/image encoders run inside the same step
@@ -179,7 +180,7 @@ def make_encoding_raw_step(cfg: TrainConfig, enc,
         emb = encode(frozen, batch)
         rng = jax.random.fold_in(state.rng, state.step)
         (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-            state.params, mcfg, emb, rng
+            state.params, mcfg, emb, rng, tp_mesh=tp_mesh
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -189,24 +190,30 @@ def make_encoding_raw_step(cfg: TrainConfig, enc,
 
 
 def make_encoding_train_step(cfg: TrainConfig, mesh: Mesh, enc,
-                             optimizer: Optional[optax.GradientTransformation] = None):
-    """Compiled single encoder-in-step DP step over the mesh."""
-    step_fn = make_encoding_raw_step(cfg, enc, optimizer)
+                             optimizer: Optional[optax.GradientTransformation] = None,
+                             state_shardings=None, tp_mesh=None):
+    """Compiled encoder-in-step step over the mesh: batch over "data",
+    frozen encoder params replicated, trainable state replicated (DP) or
+    sharded by the given pytree (TP / ZeRO-1)."""
+    step_fn = make_encoding_raw_step(cfg, enc, optimizer, tp_mesh=tp_mesh)
     repl = NamedSharding(mesh, P())
+    state_sh = state_shardings or repl
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(step_fn, in_shardings=(repl, repl, data),
-                   out_shardings=(repl, None), donate_argnums=(0,))
+    return jax.jit(step_fn, in_shardings=(state_sh, repl, data),
+                   out_shardings=(state_sh, None), donate_argnums=(0,))
 
 
 def make_encoding_multi_step(cfg: TrainConfig, mesh: Mesh, enc, n_steps: int,
-                             optimizer: Optional[optax.GradientTransformation] = None):
+                             optimizer: Optional[optax.GradientTransformation] = None,
+                             state_shardings=None, tp_mesh=None):
     """Scan window for the encoder-in-step path: one compiled call runs
     `n_steps` raw-batch train steps over a stacked (K, B, ...) window with
     the frozen encoder params held constant across the scan. This is the
     heaviest step (full DeBERTa+ViT forward per batch), so amortizing the
     per-dispatch host overhead matters most here (reference train.py:109-246
     hot loop, non-pre_embed path)."""
-    raw = make_encoding_raw_step(cfg, enc, optimizer or make_optimizer(cfg))
+    raw = make_encoding_raw_step(cfg, enc, optimizer or make_optimizer(cfg),
+                                 tp_mesh=tp_mesh)
 
     def window_fn(state: TrainState, frozen: dict, batches: dict):
         def body(st, batch):
@@ -216,9 +223,10 @@ def make_encoding_multi_step(cfg: TrainConfig, mesh: Mesh, enc, n_steps: int,
         return jax.lax.scan(body, state, batches)
 
     repl = NamedSharding(mesh, P())
+    state_sh = state_shardings or repl
     data = NamedSharding(mesh, P(None, "data"))   # (K, B, ...) shard dim 1
-    return jax.jit(window_fn, in_shardings=(repl, repl, data),
-                   out_shardings=(repl, None), donate_argnums=(0,))
+    return jax.jit(window_fn, in_shardings=(state_sh, repl, data),
+                   out_shardings=(state_sh, None), donate_argnums=(0,))
 
 
 def make_multi_step(cfg: TrainConfig, mesh: Mesh, n_steps: int,
@@ -282,11 +290,13 @@ class Trainer:
     # and optimizer state shard by the TP specs, the batch still shards over
     # "data", and the fused Pallas kernels run device-locally under
     # shard_map (heads / MLP hidden are whole per device — round-2 VERDICT
-    # weak #1). Pre-embedded batches only (the frozen encoders are not TP'd).
+    # weak #1). Works on both data paths (the frozen encoders themselves
+    # stay replicated on the raw path).
     tensor_parallel: bool = False
     # ZeRO-1: shard the AdamW moments over the "data" axis (params stay
-    # replicated; each DP rank holds 1/n of the optimizer state). Exclusive
-    # with tensor_parallel; pre-embedded batches only.
+    # replicated; each DP rank holds 1/n of the optimizer state). Composes
+    # with tensor_parallel (moments then shard over data AND model,
+    # tp.tp_zero1_specs) and with the raw encoder-in-step path.
     zero1: bool = False
 
     def __post_init__(self):
@@ -294,12 +304,6 @@ class Trainer:
         if self.tensor_parallel or self.zero1:
             from mmd_tpu.parallel import tp as TP
 
-            if self.encoders is not None:
-                raise ValueError(
-                    "sharded-state training supports the pre-embedded "
-                    "path only")
-            if self.tensor_parallel and self.zero1:
-                raise ValueError("tensor_parallel and zero1 are exclusive")
             if self.tensor_parallel:
                 if self.mesh.shape.get("model", 1) < 2:
                     raise ValueError(
@@ -311,17 +315,24 @@ class Trainer:
                                               tensor_parallel=True))
             state_shape = jax.eval_shape(
                 lambda: init_state(self.cfg, jax.random.key(0)))
-            specs = (TP.state_specs(state_shape) if self.tensor_parallel
-                     else TP.zero1_specs(state_shape,
-                                         self.mesh.shape["data"]))
+            if self.tensor_parallel and self.zero1:
+                specs = TP.tp_zero1_specs(state_shape,
+                                          self.mesh.shape["data"])
+            elif self.tensor_parallel:
+                specs = TP.state_specs(state_shape)
+            else:
+                specs = TP.zero1_specs(state_shape,
+                                       self.mesh.shape["data"])
             self._state_shardings = jax.tree_util.tree_map(
                 lambda s: NamedSharding(self.mesh, s), specs,
                 is_leaf=lambda x: isinstance(x, P))
         self.optimizer = make_optimizer(self.cfg)
         repl = NamedSharding(self.mesh, P())
+        tp_mesh = self.mesh if self.tensor_parallel else None
         if self.encoders is not None:
             enc_step = make_encoding_train_step(
-                self.cfg, self.mesh, self.encoders, self.optimizer)
+                self.cfg, self.mesh, self.encoders, self.optimizer,
+                self._state_shardings, tp_mesh=tp_mesh)
             frozen = jax.device_put(
                 {"text": self.encoders.text_params,
                  "vit": self.encoders.vit_params}, repl)
@@ -329,11 +340,11 @@ class Trainer:
             if self.cfg.steps_per_call > 1:
                 enc_window = make_encoding_multi_step(
                     self.cfg, self.mesh, self.encoders,
-                    self.cfg.steps_per_call, self.optimizer)
+                    self.cfg.steps_per_call, self.optimizer,
+                    self._state_shardings, tp_mesh=tp_mesh)
                 self.train_window = (
                     lambda state, stacked: enc_window(state, frozen, stacked))
         else:
-            tp_mesh = self.mesh if self.tensor_parallel else None
             self.train_step = make_train_step(self.cfg, self.mesh,
                                               self.optimizer,
                                               self._state_shardings,
@@ -346,7 +357,7 @@ class Trainer:
             self.cfg, self.mesh,
             None if self._state_shardings is None
             else self._state_shardings.params,
-            tp_mesh=self.mesh if self.tensor_parallel else None)
+            tp_mesh=tp_mesh)
 
     def init(self, seed: Optional[int] = None) -> TrainState:
         key = jax.random.key(self.cfg.seed if seed is None else seed)

@@ -248,6 +248,81 @@ def test_encoder_tp_deberta_matches_replicated(mesh_tp, rng):
                                rtol=2e-5, atol=2e-6)
 
 
+def test_tp_zero1_composed(mesh_tp, rng):
+    """TP + ZeRO-1 together: params keep the Megatron specs while the
+    AdamW moments shard over data AND model — losses still equal plain
+    DP."""
+    batches = [synthetic_preembed_batch(rng, 16, text_seq=8, image_seq=4,
+                                        text_dim=16, image_dim=24)
+               for _ in range(3)]
+
+    def run(trainer):
+        state = trainer.init(seed=0)
+        losses = []
+        for b in batches:
+            state, aux = trainer.train_step(state, trainer.shard_batch(b))
+            losses.append(float(np.asarray(aux["loss"])))
+        return losses, state
+
+    losses_dp, _ = run(Trainer(_cfg(), mesh_tp))
+    losses_tz, state = run(Trainer(_cfg(), mesh_tp, tensor_parallel=True,
+                                   zero1=True))
+    np.testing.assert_allclose(losses_tz, losses_dp, rtol=2e-5, atol=1e-6)
+    # col-sharded (32, 32) weight's moment: P("data", "model") -> (8, 16)
+    mu = state.opt_state[0].mu["representation"]["text_WQ"]["w"]
+    assert mu.sharding.spec == P("data", MODEL_AXIS), mu.sharding.spec
+    assert mu.addressable_shards[0].data.shape == (8, 16)
+    # params keep the plain TP layout
+    w = state.params["representation"]["text_WQ"]["w"]
+    assert w.sharding.spec == P(None, MODEL_AXIS)
+
+
+def test_raw_path_zero1_and_tp(mesh8, mesh_tp, rng):
+    """The encoder-in-step (raw) path now accepts sharded trainable state:
+    one ZeRO-1 step on the DP mesh and one TP step on the (4, 2) mesh,
+    losses finite and moments/params physically sharded."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+    from mmd_tpu.models import text_encoder as te
+    from mmd_tpu.models import vit as V
+    from mmd_tpu.models.frozen import FrozenEncoders
+
+    tcfg = dc.replace(te.TINY_TEST, vocab_size=128)
+    vcfg = V.VIT_TEST
+    enc = FrozenEncoders(
+        tokenizer=None, text_cfg=tcfg,
+        text_params=te.init_text_encoder(jax.random.key(0), tcfg),
+        vit_cfg=vcfg, vit_params=V.init_vit(jax.random.key(1), vcfg))
+    model = ModelConfig(text_input_dim=tcfg.hidden_size,
+                        image_input_dim=vcfg.hidden_size,
+                        embed_dim=32, num_heads=4, hidden_dim=16,
+                        compute_dtype="float32")
+    B = 16
+    batch = {
+        "claim_ids": rng.integers(1, 100, (B, 16)).astype(np.int32),
+        "claim_mask": np.ones((B, 16), np.int32),
+        "doc_ids": rng.integers(1, 100, (B, 16)).astype(np.int32),
+        "doc_mask": np.ones((B, 16), np.int32),
+        "claim_image": rng.integers(0, 255, (B, 32, 32, 3)).astype(np.uint8),
+        "doc_image": rng.integers(0, 255, (B, 32, 32, 3)).astype(np.uint8),
+        "labels": np.stack([np.array([0, 1, 1, 1], np.int32)] * B),
+    }
+    cfg = TrainConfig(model=model, batch_size=B,
+                      data=DataConfig(text_seq_len=16, image_seq_len=16))
+
+    trz = Trainer(cfg, mesh8, encoders=enc, zero1=True)
+    state, aux = trz.train_step(trz.init(seed=0), trz.shard_batch(batch))
+    assert np.isfinite(float(np.asarray(aux["loss"])))
+    mu = state.opt_state[0].mu["representation"]["text_WQ"]["w"]
+    assert mu.sharding.spec[0] == "data"
+
+    trt = Trainer(cfg, mesh_tp, encoders=enc, tensor_parallel=True)
+    state_t, aux_t = trt.train_step(trt.init(seed=0), trt.shard_batch(batch))
+    assert np.isfinite(float(np.asarray(aux_t["loss"])))
+    w = state_t.params["representation"]["text_WQ"]["w"]
+    assert w.sharding.spec == P(None, MODEL_AXIS)
+
+
 def test_tp_validation_rejects_indivisible_heads(mesh_tp):
     cfg = _cfg()
     cfg = dataclasses.replace(

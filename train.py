@@ -100,7 +100,8 @@ def main():
         store = build_raw_store(cfg.data.train_data, enc.tokenizer)
         print(f"[train] {len(store)} raw samples (on-the-fly encoding)")
         trainer = Trainer(cfg, mesh, encoders=enc,
-                          tensor_parallel=cfg.mesh.tensor_parallel)
+                          tensor_parallel=cfg.mesh.tensor_parallel,
+                          zero1=cfg.mesh.zero1)
 
         def train_batches(epoch):
             return store.batches(cfg.batch_size, shuffle=cfg.data.shuffle,
