@@ -374,7 +374,17 @@ def write_markdown(out: dict) -> None:
         "equal single-device grads and (b) the 4-step weak-scaling parameter",
         "trajectory is locked (up to the zero-gradient Adam noise floor),",
         "and the driver's `dryrun_multichip` compiles + executes the full",
-        "sharded train step on 8 virtual devices.",
+        "sharded train step, a ZeRO-1 step (moments physically 1/n per",
+        "rank), a TP-sharded encoder forward, sharded retrieval top-k, and",
+        "a raw encoder-in-step DP step on 8 virtual devices.",
+        "",
+        "The full sharded-training matrix is equality-tested in",
+        "`tests/test_tp.py`: Megatron TP (params + AdamW moments over",
+        "\"model\"; the fused Pallas kernels stay ON via jax.shard_map —",
+        "each rank owns whole heads / MLP-hidden columns), ZeRO-1 (moments",
+        "over \"data\"), TP+ZeRO-1 composed (moments over data AND model),",
+        "and all of it on BOTH data paths (pre-embedded and raw",
+        "encoder-in-step).",
         "",
         "Projection for v5e-8 (all stages embarrassingly data-parallel; the",
         "only collective in the train step is one grad all-reduce over ICI,",
