@@ -39,6 +39,9 @@ def main():
                    help="seeded DeBERTa-v3-xsmall + Swinv2-base (the "
                         "reference's actual encoder families) instead of "
                         "the BERT-class/ViT substitutes")
+    p.add_argument("--reuse_tree", action="store_true",
+                   help="skip synthesis when the tree already exists at "
+                        "--root (pre-generated)")
     p.add_argument("--timings_json", type=str, default=None,
                    help="dump per-stage wall-clock timings (plus row "
                         "counts) as JSON for BENCHMARKS.md")
@@ -50,10 +53,15 @@ def main():
     if args.synthetic:
         from mmd_tpu.data.synthetic import synthetic_factify_tree
         root = Path(args.root or "/tmp/mmd_pipeline")
-        with stages.stage("synthesize"):
-            synthetic_factify_tree(root, n_train=args.synthetic,
-                                   n_test=max(args.synthetic // 4, 4),
-                                   image_size=args.image_size or 64)
+        marker = (root / "data" / "raw" / "factify" / "extracted"
+                  / "train.csv")
+        if args.reuse_tree and marker.exists():
+            print(f"[run_all] reusing existing tree at {root}")
+        else:
+            with stages.stage("synthesize"):
+                synthetic_factify_tree(root, n_train=args.synthetic,
+                                       n_test=max(args.synthetic // 4, 4),
+                                       image_size=args.image_size or 64)
         os.environ["MMD_TPU_ROOT"] = str(root)
     else:
         root = Path(args.root) if args.root else None
