@@ -251,12 +251,30 @@ def _evidence_conditioning(
         q_cat = jnp.concatenate(parts, axis=1)
         ctx_et = attn_core(q_cat, etK, etV)
         ctx_ei = attn_core(q_cat, eiK, eiV)
-        return (
-            (finish(H_t, ctx_et[:, :tt], "text_text", "text_mlp"),
-             finish(H_t, ctx_ei[:, :tt], "text_image", "text_mlp")),
-            (finish(H_i, ctx_et[:, tt:tt + ti], "image_text", "image_mlp"),
-             finish(H_i, ctx_ei[:, tt:tt + ti], "image_image", "image_mlp")),
-        )
+
+        def pair(H, ctx_a, name_a, ctx_b, name_b, mlp_name):
+            """Two paths sharing one claim rep AND one MLP: the per-path
+            out-proj/residual/LN run separately, then ONE batch-stacked
+            MLP call serves both (same weights — halves the MLP kernel
+            launches the merged layout left behind)."""
+            b = H.shape[0]
+            sa = L.layernorm(p[f"{name_a}_ln1"],
+                             H + L.linear(p[f"{name_a}_out"], ctx_a, dtype))
+            sb = L.layernorm(p[f"{name_b}_ln1"],
+                             H + L.linear(p[f"{name_b}_out"], ctx_b, dtype))
+            m = L.mlp(p[mlp_name], jnp.concatenate([sa, sb], axis=0),
+                      cfg.dropout, rngs(), deterministic, dtype,
+                      fused_ok=not cfg.tensor_parallel or tp_mesh is not None,
+                      tp_mesh=tp_mesh if cfg.tensor_parallel else None)
+            return (L.layernorm(p[f"{name_a}_ln2"], sa + m[:b]),
+                    L.layernorm(p[f"{name_b}_ln2"], sb + m[b:]))
+
+        S_t_t, S_t_i = pair(H_t, ctx_et[:, :tt], "text_text",
+                            ctx_ei[:, :tt], "text_image", "text_mlp")
+        S_i_t, S_i_i = pair(H_i, ctx_et[:, tt:tt + ti], "image_text",
+                            ctx_ei[:, tt:tt + ti], "image_image",
+                            "image_mlp")
+        return (S_t_t, S_t_i), (S_i_t, S_i_i)
 
     def path(H, Q, K, V, name, mlp_name):
         return finish(H, attn_core(Q, K, V), name, mlp_name)
