@@ -39,8 +39,18 @@ from mmd_tpu.ops.attention import _pack_blockdiag
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int):
-    """Blocks: q/k/v/o (1, GB, n, C), bias (1, h, n, n) f32. q arrives
+def _group_size(dh: int, heads: int) -> int:
+    g = 128 // dh if (dh < 128 and 128 % dh == 0) else 1
+    while g > 1 and heads % g != 0:
+        g //= 2
+    return g
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int, g: int):
+    """Blocks: q/k/v/o (1, GB, n, C); bias (1, h//g, n, g*n) f32 — the
+    per-head (n, n) biases pre-packed OUTSIDE into the same lane-segment
+    layout the packed scores use, so no kernel-boundary array has a last
+    dim < 128 (Mosaic pads those; CLAUDE.md gotcha). q arrives
     pre-normalized and pre-scaled (cosine attention's logit scale and the
     log2(e) base change folded in); k pre-normalized."""
     q = q_ref[0]
@@ -48,29 +58,21 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int):
     v = v_ref[0]
     n = q.shape[1]
     dh = q.shape[-1] // heads
-    g = 128 // dh if (dh < 128 and 128 % dh == 0) else 1
-    while g > 1 and heads % g != 0:
-        g //= 2
-    for h0 in range(0, heads, g):
+    for grp, h0 in enumerate(range(0, heads, g)):
         cols = slice(h0 * dh, (h0 + g) * dh)
         kp = _pack_blockdiag(k, h0, g, dh)               # (GB, g*n, g*dh)
         s = jax.lax.dot_general(
             q[:, :, cols], kp, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)          # (GB, n, g*n)
-        # Shared max over the group row is exact: each head's own softmax
-        # subtracts it back out through its segment sum. Bias folds into
-        # the exp2 argument per segment (see ops/attention.py) — biases
-        # here are bounded (16*sigmoid CPB, -200 shift mask), so the
-        # raw-max envelope holds by construction.
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p_segs = [
-            jnp.exp2(s[:, :, j * n:(j + 1) * n]
-                     + bias_ref[0, h0 + j][None] - m)
-            for j in range(g)
-        ]
-        ls = [jnp.sum(p, axis=-1, keepdims=True) for p in p_segs]
-        p16 = (jnp.concatenate(p_segs, axis=-1) if g > 1
-               else p_segs[0]).astype(v.dtype)
+        # one add pass is unavoidable (the bias is genuinely (n, n) per
+        # head), so the max runs on the BIASED scores — the true softmax
+        # max; the shared group max is exact (per-head sums renormalize).
+        sb = s + bias_ref[0, grp][None]
+        m = jnp.max(sb, axis=-1, keepdims=True)
+        p = jnp.exp2(sb - m)
+        ls = [jnp.sum(p[:, :, j * n:(j + 1) * n], axis=-1, keepdims=True)
+              for j in range(g)]
+        p16 = p.astype(v.dtype)
         vp = _pack_blockdiag(v, h0, g, dh)
         o = jax.lax.dot_general(
             p16, vp, (((2,), (1,)), ((0,), (0,))),
@@ -101,16 +103,24 @@ def _rows_per_block(b: int, n: int, c: int, heads: int, itemsize: int) -> int:
 def swin_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           bias: jax.Array, heads: int) -> jax.Array:
     """q/k/v (nW, B, n, C) — q pre-scaled by scale*log2(e), q/k L2-normalized
-    per head; bias (nW, h, n, n) f32 additive logits (log2 domain NOT
-    applied — pass bias*log2(e)). Returns (nW, B, n, C)."""
+    per head; bias (nW, h, n, n) f32 additive logits in the LOG2 domain
+    (pass bias*log2(e)). Returns (nW, B, n, C)."""
     nw, b, n, c = q.shape
+    dh = c // heads
+    g = _group_size(dh, heads)
     gb = _rows_per_block(b, n, c, heads, q.dtype.itemsize)
+    # pre-pack the bias into score-segment layout: head h0+j's (n, n) tile
+    # sits at lanes [j*n, (j+1)*n) of its group row -> (nW, h//g, n, g*n),
+    # last dim >= 128 at the production geometry
+    bias_g = bias.reshape(nw, heads // g, g, n, n)
+    bias_g = bias_g.transpose(0, 1, 3, 2, 4).reshape(nw, heads // g, n, g * n)
     blk = pl.BlockSpec((1, gb, n, c), lambda i, j: (i, j, 0, 0),
                        memory_space=pltpu.VMEM)
-    bias_blk = pl.BlockSpec((1, heads, n, n), lambda i, j: (i, 0, 0, 0),
+    bias_blk = pl.BlockSpec((1, heads // g, n, g * n),
+                            lambda i, j: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, heads=heads),
+        functools.partial(_kernel, heads=heads, g=g),
         out_shape=jax.ShapeDtypeStruct((nw, b, n, c), q.dtype),
         grid=(nw, b // gb),
         in_specs=[blk, blk, blk, bias_blk],
@@ -121,4 +131,4 @@ def swin_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             transcendentals=nw * b * heads * n * n,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(q, k, v, bias)
+    )(q, k, v, bias_g)
