@@ -39,6 +39,8 @@ def log(*a):
 
 
 def main():
+    from mmd_tpu.core.mesh import require_tpu
+    require_tpu()
     import jax
     # Hardware RBG keys: MLP-dropout mask generation is ~20% of the step
     # under threefry; rbg is statistically fine for dropout.

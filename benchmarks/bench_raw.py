@@ -41,6 +41,8 @@ def main():
                         "records raw_train_swin_samples_per_sec")
     args = p.parse_args()
 
+    from mmd_tpu.core.mesh import require_tpu
+    require_tpu()
     import jax
     jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp

@@ -72,6 +72,8 @@ def main():
         return
     k_small, k_large = (2, 8) if args.quick else (4, 24)
 
+    from mmd_tpu.core.mesh import require_tpu
+    require_tpu()
     import jax
     # match the training entrypoints: hardware RBG keys for dropout masks
     jax.config.update("jax_default_prng_impl", "rbg")

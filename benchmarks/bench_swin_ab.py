@@ -30,6 +30,8 @@ def main():
     p.add_argument("--reps", type=int, default=5)
     args = p.parse_args()
 
+    from mmd_tpu.core.mesh import require_tpu
+    require_tpu()
     import jax
     import jax.numpy as jnp
     from mmd_tpu.models import swin as SW

@@ -25,6 +25,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
+    from mmd_tpu.core.mesh import require_tpu
+    require_tpu()
     import jax
     jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp

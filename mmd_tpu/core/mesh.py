@@ -19,6 +19,53 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+TUNNEL_DOWN_MSG = (
+    "axon tunnel unreachable: TPU backend init did not complete within "
+    "{timeout}s. This is an environment outage, not a code failure — "
+    "retry when the tunnel returns (poll: /tmp/tpu_probe_loop.sh)."
+)
+
+
+def require_tpu(timeout_s: float = 90.0) -> None:
+    """Fail fast (exit 3, distinct one-line message) if the TPU backend
+    cannot initialize within the deadline.
+
+    The tunneled axon backend HANGS indefinitely inside jax.devices() when
+    the tunnel is down (round-3 postmortem: BENCH_r03 burned its run on an
+    unguarded probe). Backend init is not interruptible in-thread, so the
+    probe runs in a fresh subprocess with a hard timeout; on success the
+    parent's own (cached) backend init hits a warm server and is fast.
+
+    Call this FIRST in every TPU entry point, before any jax API that
+    touches the backend.
+    """
+    import subprocess
+    import sys
+
+    # No tunnel to probe when the process already pinned the CPU platform
+    # (the pytest conftest / dryrun path) — the probe must not turn CPU
+    # runs into exit-3s. The site default is "axon,cpu" (axon preferred),
+    # so only an explicit cpu-FIRST pin counts.
+    platforms = str(jax.config.jax_platforms or "")
+    if platforms.split(",")[0].strip() == "cpu":
+        return
+
+    probe = ("import jax; d = jax.devices(); "
+             "print('OK', len(d), d[0].platform)")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True,
+            timeout=timeout_s, text=True)
+    except subprocess.TimeoutExpired:
+        print(TUNNEL_DOWN_MSG.format(timeout=int(timeout_s)),
+              file=sys.stderr, flush=True)
+        raise SystemExit(3)
+    if r.returncode != 0:
+        print(TUNNEL_DOWN_MSG.format(timeout=int(timeout_s)),
+              file=sys.stderr, flush=True)
+        print(r.stderr.strip()[-2000:], file=sys.stderr, flush=True)
+        raise SystemExit(3)
+
 
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,

@@ -118,6 +118,8 @@ def main():
                                           batch_size=args.batch_size)
 
     # 5. train the fusion classifier
+    from mmd_tpu.core.mesh import require_tpu
+    require_tpu()
     import jax
     from mmd_tpu.core.config import ModelConfig, TrainConfig
     from mmd_tpu.core.mesh import make_mesh
