@@ -63,6 +63,7 @@ def _dump_masks(x2, w1, w2, seed, rate):
     f = w1.shape[1]
 
     def kernel(seed_ref, x_ref, w1_ref, w2_ref, m1_ref, m2_ref, *, rate):
+        # two-seed layout (ops/mlp): [0] mid stream, [1] out stream
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         x = x_ref[:]
         a = jax.lax.dot_general(x, w1_ref[:], (((1,), (0,)), ((), ())),
@@ -72,6 +73,7 @@ def _dump_masks(x2, w1, w2, seed, rate):
         y = jax.lax.dot_general((h * m1).astype(x.dtype), w2_ref[:],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        pltpu.prng_seed(seed_ref[1] + pl.program_id(0))
         m2 = _keep_scale((x.shape[0], w2_ref.shape[1]), rate)
         m1_ref[:] = m1
         m2_ref[:] = m2 + 0.0 * y   # keep the 2nd dot live, as in the kernel
@@ -117,7 +119,7 @@ def main():
     w1f32, w2f32 = w1.astype(jnp.float32), w2.astype(jnp.float32)
     xf32 = jnp.asarray(rng.standard_normal((512, d)), jnp.float32)
     dy32 = jnp.asarray(rng.standard_normal((512, d)), jnp.float32)
-    zero_seed = jnp.zeros((1,), jnp.int32)
+    zero_seed = jnp.zeros((2,), jnp.int32)
     gf = jax.jit(jax.grad(lambda *a: (_fused_mlp_core(*a, zero_seed, 0.0)
                                       * dy32).sum(), argnums=(0, 1, 2, 3, 4)))(
         xf32, w1f32, b1, w2f32, b2)
@@ -137,13 +139,13 @@ def main():
     # converge to the no-dropout output at the Monte-Carlo rate. Check the
     # error at n and n/4 seeds: unbiased sampling halves it (x0.5 +- slack);
     # a biased mask would leave a floor instead.
-    y0 = np.asarray(fused(x, jnp.zeros((1,), jnp.int32), 0.0),
+    y0 = np.asarray(fused(x, jnp.zeros((2,), jnp.int32), 0.0),
                     np.float32)
     acc = np.zeros_like(y0)
     n_seeds = 256
     err_at = {}
     for s in range(n_seeds):
-        acc += np.asarray(fused(x, jnp.full((1,), s * 7919, jnp.int32),
+        acc += np.asarray(fused(x, jnp.asarray([s * 7919, s * 7919 + 104729], jnp.int32),
                                 RATE), np.float32)
         if s + 1 in (n_seeds // 4, n_seeds):
             err_at[s + 1] = float(np.mean(np.abs(acc / (s + 1) - y0))
@@ -159,7 +161,7 @@ def main():
     # returns wrong values (verified 2026-08-16: the same checks pass
     # jitted and fail eagerly while the jitted kernel matches plain XLA
     # bit-for-bit), so all device calls here go through jax.jit.
-    seed = jnp.full((1,), 12345, jnp.int32)
+    seed = jnp.asarray([12345, 54321], jnp.int32)
     nf = 512
     xf = jnp.asarray(rng.standard_normal((nf, d)), jnp.float32)
     dy = jnp.asarray(rng.standard_normal((nf, d)), jnp.float32)

@@ -325,10 +325,16 @@ def _cosine_window_attention_fused(bp: dict, x: jax.Array, heads: int,
     return L.linear(bp["attn_out"], out, dtype)
 
 
-def _fused_ok(window: int, dh: int) -> bool:
+def _fused_ok(window: int, dh: int, heads: int) -> bool:
+    """Gate on the ACTUAL group size the kernel will use: _group_size
+    shrinks g below 128//dh when heads % (128//dh) != 0 (e.g. heads=3 at
+    dh=32 gives g=1), and a bias block with last dim g*n < 128 violates
+    the Mosaic last-dim constraint (remote-compile SIGABRT)."""
+    from mmd_tpu.ops.swin_attention import _group_size
+
     n = window * window
-    return (dh >= 32 and 128 % dh == 0
-            and n % 8 == 0 and ((128 // dh) * n) % 128 == 0)
+    g = _group_size(dh, heads)
+    return dh >= 32 and 128 % dh == 0 and n % 8 == 0 and (g * n) % 128 == 0
 
 
 def _block(bp: dict, x: jax.Array, res: int, heads: int, window: int,
@@ -344,7 +350,7 @@ def _block(bp: dict, x: jax.Array, res: int, heads: int, window: int,
     bias = _position_bias(bp, window, pretrained_window, heads)
     mask = shift_attn_mask(res, window, shift)
     mask = jnp.asarray(mask) if mask is not None else None
-    if fused and _fused_ok(window, c // heads):
+    if fused and _fused_ok(window, c // heads, heads):
         attn = _cosine_window_attention_fused(bp, windows, heads, bias,
                                               mask, b, dtype)
     else:

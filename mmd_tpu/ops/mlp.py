@@ -70,9 +70,14 @@ def _dot(a, b, contract, preferred=jnp.float32):
 
 def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref,
                 *, rate: float):
+    """seed_ref is (2,): [0] seeds the hidden-dim (mid) mask stream, [1]
+    the output mask stream. Separate streams let TP fold the model-rank
+    into the mid seed only — each rank's F/tp hidden slice draws an
+    independent mask — while the out mask stays model-replicated (the
+    psum-exactness requirement, see fused_mlp)."""
+    x = x_ref[:]
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    x = x_ref[:]
     a = _dot(x, w1_ref[:], (((1,), (0,))))           # (BN, F) f32
     a = a + b1_ref[:].astype(jnp.float32)
     h = _gelu_tanh(a)
@@ -81,6 +86,7 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref,
     y = _dot(h.astype(x.dtype), w2_ref[:], (((1,), (0,))))   # (BN, D)
     y = y + b2_ref[:].astype(jnp.float32)
     if rate > 0.0:
+        pltpu.prng_seed(seed_ref[1] + pl.program_id(0))
         y = y * _keep_scale(y.shape, rate)
     y_ref[:] = y.astype(y_ref.dtype)
 
@@ -91,8 +97,6 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
     """Recomputes the forward through the hidden block, regenerating the
     keep-masks from the SAME per-program seed and draw order as the
     forward; dw/db outputs accumulate in fp32 across row-block programs."""
-    if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     x = x_ref[:]
     w1 = w1_ref[:]
     w2 = w2_ref[:]
@@ -108,8 +112,11 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
     a = a + b1_ref[:].astype(jnp.float32)
     g = _gelu_tanh(a)
     if rate > 0.0:
-        m1 = _keep_scale(g.shape, rate)   # same draw order as the forward
+        # same seeds and draw order as the forward: mid stream then out
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        m1 = _keep_scale(g.shape, rate)
         h = g * m1
+        pltpu.prng_seed(seed_ref[1] + pl.program_id(0))
         m2 = _keep_scale((x.shape[0], w2.shape[1]), rate)
     else:
         m1 = m2 = None
@@ -236,16 +243,17 @@ def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     model axis reconstructs the output EXACTLY because the final dropout
     mask is drawn from a model-replicated seed (identical on every model
     rank, so mask ⊙ Σ partials == Σ mask ⊙ partials). The mid (hidden-dim)
-    dropout reuses that seed per local F/tp slice — keep decisions repeat
-    across model ranks, a documented statistical correlation, not a bias."""
+    dropout runs on its OWN seed stream with the model rank folded in, so
+    each rank's F/tp hidden slice draws an independent mask — the sharded
+    dropout distribution matches the unsharded model exactly."""
     shape = x.shape
     d = shape[-1]
     x2 = x.reshape(-1, d).astype(dtype)
     if rate > 0.0:
         assert rng is not None, "fused_mlp dropout requires an rng"
-        seed = jax.random.bits(rng, (1,), jnp.uint32).astype(jnp.int32)
+        seed = jax.random.bits(rng, (2,), jnp.uint32).astype(jnp.int32)
     else:
-        seed = jnp.zeros((1,), jnp.int32)
+        seed = jnp.zeros((2,), jnp.int32)
     w1c, b1c = w1.astype(dtype), b1.astype(jnp.float32)
     w2c, b2c = w2.astype(dtype), b2.astype(jnp.float32)
     if tp_mesh is None:
@@ -259,7 +267,13 @@ def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
         rows = P(data_axis, None)
 
         def body(seed_, x_, w1_, b1_, w2_, b2_):
-            s = _fold_seed(seed_, data_axis)   # NOT model: see docstring
+            # mid stream decorrelates over data AND model ranks (each rank
+            # owns a distinct F/tp slice); out stream over data only (the
+            # psum-exactness requirement — see docstring).
+            s = jnp.concatenate([
+                _fold_seed(seed_[0:1], data_axis, model_axis),
+                _fold_seed(seed_[1:2], data_axis),
+            ])
             y_p = _fused_mlp_core(x_, w1_, b1_, w2_,
                                   b2_ * (1.0 / tp), s, rate)
             return jax.lax.psum(y_p, model_axis) if tp > 1 else y_p
