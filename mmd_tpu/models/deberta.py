@@ -354,41 +354,61 @@ def _disentangled_attention(p, cfg: DebertaConfig, x, rel_emb, c2p_map,
     return L.linear(p["attn_out"], ctx, dtype)
 
 
-def deberta_encode(params: dict, cfg: DebertaConfig, input_ids: jax.Array,
-                   attention_mask: Optional[jax.Array] = None) -> jax.Array:
-    """(B, T) int32 -> last_hidden_state (B, T, D)."""
+def deberta_embed(params: dict, cfg: DebertaConfig, input_ids: jax.Array,
+                  attention_mask: Optional[jax.Array] = None):
+    """(x, rel_emb): embedded tokens + the LN'd shared relative-position
+    table. Split out of deberta_encode so pipeline parallelism
+    (parallel/pp.pipeline_encode_deberta) can compute both once and
+    replicate rel_emb to every stage."""
     dtype = jnp.dtype(cfg.compute_dtype)
-    t = input_ids.shape[1]
     span = cfg.pos_ebd_size
-    c2p_map, p2c_map = _diag_maps(t, cfg)
-
     x = params["embeddings"]["word"][input_ids]
     x = L.layernorm(params["embeddings"]["ln"], x, cfg.layer_norm_eps)
     if attention_mask is not None:
         x = x * attention_mask[..., None].astype(x.dtype)
     x = x.astype(dtype)
-
     rel_emb = L.layernorm(params["rel_ln"],
                           params["rel_embeddings"][: span * 2],
                           cfg.layer_norm_eps).astype(dtype)
+    return x, rel_emb
 
-    # Pallas path needs lane-aligned shapes: D and 2T multiples of 128
-    use_fused = (cfg.fused_attn and jax.default_backend() == "tpu"
-                 and cfg.hidden_size % 128 == 0 and (2 * t) % 128 == 0)
+
+def use_fused_attn(cfg: DebertaConfig, t: int) -> bool:
+    """Pallas path needs lane-aligned shapes: D and 2T multiples of 128."""
+    return (cfg.fused_attn and jax.default_backend() == "tpu"
+            and cfg.hidden_size % 128 == 0 and (2 * t) % 128 == 0)
+
+
+def deberta_layer(p: dict, cfg: DebertaConfig, x: jax.Array,
+                  rel_emb: jax.Array, c2p_map, p2c_map,
+                  attention_mask, dtype, use_fused: bool) -> jax.Array:
+    """One DeBERTa-v3 encoder block (disentangled attention + FFN)."""
     attn_fn = (_disentangled_attention_fused if use_fused
                else _disentangled_attention)
+    a = attn_fn(p, cfg, x, rel_emb, c2p_map, p2c_map,
+                attention_mask, dtype)
+    x = L.layernorm(p["ln1"], x + a, cfg.layer_norm_eps)
+    # erf-exact GELU under float32 (HF parity); tanh under bfloat16 —
+    # the ~5e-4 relative gap is below bf16 resolution while the erf
+    # polynomial costs ~2 ms per (256, 512, 1536) activation on TPU
+    # (same rule as layers.mlp).
+    hdn = jax.nn.gelu(L.linear(p["ffn_in"], x, dtype),
+                      approximate=(dtype == jnp.bfloat16))
+    return L.layernorm(p["ln2"], x + L.linear(p["ffn_out"], hdn, dtype),
+                       cfg.layer_norm_eps)
+
+
+def deberta_encode(params: dict, cfg: DebertaConfig, input_ids: jax.Array,
+                   attention_mask: Optional[jax.Array] = None) -> jax.Array:
+    """(B, T) int32 -> last_hidden_state (B, T, D)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    t = input_ids.shape[1]
+    c2p_map, p2c_map = _diag_maps(t, cfg)
+    x, rel_emb = deberta_embed(params, cfg, input_ids, attention_mask)
+    fused = use_fused_attn(cfg, t)
     for p in params["layers"]:
-        a = attn_fn(p, cfg, x, rel_emb, c2p_map, p2c_map,
-                    attention_mask, dtype)
-        x = L.layernorm(p["ln1"], x + a, cfg.layer_norm_eps)
-        # erf-exact GELU under float32 (HF parity); tanh under bfloat16 —
-        # the ~5e-4 relative gap is below bf16 resolution while the erf
-        # polynomial costs ~2 ms per (256, 512, 1536) activation on TPU
-        # (same rule as layers.mlp).
-        hdn = jax.nn.gelu(L.linear(p["ffn_in"], x, dtype),
-                          approximate=(dtype == jnp.bfloat16))
-        x = L.layernorm(p["ln2"], x + L.linear(p["ffn_out"], hdn, dtype),
-                        cfg.layer_norm_eps)
+        x = deberta_layer(p, cfg, x, rel_emb, c2p_map, p2c_map,
+                          attention_mask, dtype, fused)
     return x
 
 
