@@ -1,11 +1,17 @@
-"""Same-process A/B: merged evidence-path attention vs the 4-call layout.
+"""Same-process A/B over the fusion step's structural GEMM-tail variants.
 
-ModelConfig.merged_paths folds the four evidence-path attentions into two
-shared-K/V kernel calls (queries concatenated to 576 rows, padded to 640)
-and batches the two shared-weight MLP calls per claim modality. This
-script times the FULL train step both ways in one process (in-jit
-fori-loop deltas, 5 interleaved reps, medians — the only A/B protocol
-whose deltas are trustworthy on the tunneled chip).
+Variants (all equality-tested vs the baseline layout in tests/):
+  four_calls     baseline: 4 evidence-path attentions, 4 classifier heads
+  merged         ModelConfig.merged_paths — two shared-K/V attention calls
+                 (queries concatenated to 576 rows, padded to 640) + the
+                 two shared-weight MLP calls batched per claim modality
+  stacked        ModelConfig.stacked_heads — the four classifier heads as
+                 one batched GEMM pair
+  merged_stacked both flags
+
+Times the FULL train step each way in one process (in-jit fori-loop
+deltas, 5 interleaved reps, medians — the only A/B protocol whose deltas
+are trustworthy on the tunneled chip).
 
 Run on the TPU chip:  python benchmarks/bench_merged_ab.py
 """
@@ -43,9 +49,9 @@ def main():
         if host[k].dtype == np.float32:
             host[k] = host[k].astype(jnp.bfloat16)
 
-    def build(tag, merged):
+    def build(tag, merged, stacked=False):
         model = ModelConfig(fused_attn=True, compute_dtype="bfloat16",
-                            merged_paths=merged)
+                            merged_paths=merged, stacked_heads=stacked)
         cfg = TrainConfig(model=model, batch_size=B)
         step = make_raw_step(cfg)
         state = jax.device_put(init_state(cfg, jax.random.key(0)),
@@ -62,7 +68,9 @@ def main():
 
         return tag, make(4), make(24), state, batch
 
-    variants = [build("four_calls", False), build("merged", True)]
+    variants = [build("four_calls", False), build("merged", True),
+                build("stacked", False, True),
+                build("merged_stacked", True, True)]
     for tag, fs, fl, state, batch in variants:
         t0 = time.time()
         l1, l2 = float(fs(state, batch)), float(fl(state, batch))
@@ -82,8 +90,9 @@ def main():
         dt = float(np.median(vals))
         out[tag] = dt
         print(f"{tag}: {dt*1e3:.2f} ms/step -> {B/dt:,.0f} samples/s")
-    delta = (out["merged"] - out["four_calls"]) / out["four_calls"] * 100
-    print(f"merged vs four-call: {delta:+.1f}%")
+    for tag in ("merged", "stacked", "merged_stacked"):
+        delta = (out[tag] - out["four_calls"]) / out["four_calls"] * 100
+        print(f"{tag} vs four-call: {delta:+.1f}%")
 
 
 if __name__ == "__main__":

@@ -47,6 +47,14 @@ class ModelConfig:
     # path (rows of a non-causal attention are independent); dropout masks
     # differ from the unmerged layout (one rng per merged call).
     merged_paths: bool = False
+    # Run the four per-path classifier heads (shared (D -> hidden -> C)
+    # shapes, model.py:240-347) as ONE batch-stacked GEMM pair instead of
+    # four sequential 2-layer MLPs: weights stack to (4, D, H)/(4, H, C)
+    # and the pooled inputs to (4, B, D), so the XLA tail pays one batched
+    # matmul pair fwd+bwd instead of eight tiny GEMMs. Identical math;
+    # dropout masks differ from the unstacked layout (one draw per stacked
+    # tensor). OFF until the TPU A/B (bench_merged_ab --stacked_heads).
+    stacked_heads: bool = False
     # Megatron-style tensor parallelism over the mesh "model" axis
     # (parallel/tp.py). Trainer(tensor_parallel=True) sets this, shards
     # params/optimizer state by the TP specs, and passes the mesh down so

@@ -310,6 +310,31 @@ def _classify(p: dict, cfg: ModelConfig, S_t, S_i, rngs: _Rngs, deterministic, d
         return out.astype(jnp.float32)
 
     (S_t_t, S_t_i), (S_i_t, S_i_i) = S_t, S_i
+    names = ("mlp_text_given_text", "mlp_text_given_image",
+             "mlp_image_given_text", "mlp_image_given_image")
+    paths = (S_t_t, S_t_i, S_i_t, S_i_i)
+    if cfg.stacked_heads and all(s is not None for s in paths):
+        # One batched GEMM pair over all four heads (they share the
+        # (D -> hidden -> C) shapes): x (4, B, D), w1 (4, D, H),
+        # w2 (4, H, C). Same math as four head_apply calls; only the
+        # dropout draw pattern differs (one mask over the stacked
+        # hidden instead of four).
+        x = jnp.stack([pool(s) for s in paths])
+        w1 = jnp.stack([p[n]["fc0"]["w"] for n in names]).astype(dtype)
+        b1 = jnp.stack([p[n]["fc0"]["b"] for n in names]).astype(dtype)
+        w2 = jnp.stack([p[n]["fc1"]["w"] for n in names]).astype(dtype)
+        b2 = jnp.stack([p[n]["fc1"]["b"] for n in names]).astype(dtype)
+        # bias-add in f32 then cast, matching L.linear bit-for-bit
+        h = jnp.einsum("pbd,pdh->pbh", x, w1,
+                       preferred_element_type=jnp.float32)
+        h = (h + b1[:, None].astype(jnp.float32)).astype(dtype)
+        h = L.dropout(jax.nn.relu(h), cfg.dropout, rngs(), deterministic,
+                      fused_ok=fd_ok)
+        y = jnp.einsum("pbh,phc->pbc", h, w2,
+                       preferred_element_type=jnp.float32)
+        y = (y + b2[:, None].astype(jnp.float32)).astype(dtype)
+        return ((y[0].astype(jnp.float32), y[1].astype(jnp.float32)),
+                (y[2].astype(jnp.float32), y[3].astype(jnp.float32)))
     return (
         (head("mlp_text_given_text", S_t_t), head("mlp_text_given_image", S_t_i)),
         (head("mlp_image_given_text", S_i_t), head("mlp_image_given_image", S_i_i)),
