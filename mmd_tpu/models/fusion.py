@@ -254,14 +254,21 @@ def _evidence_conditioning(
 
         def pair(H, ctx_a, name_a, ctx_b, name_b, mlp_name):
             """Two paths sharing one claim rep AND one MLP: the per-path
-            out-proj/residual/LN run separately, then ONE batch-stacked
-            MLP call serves both (same weights — halves the MLP kernel
-            launches the merged layout left behind)."""
+            out-projections run as ONE batch-stacked GEMM (weights stack
+            to (2, D, D); bias-add in f32 matches L.linear bit-for-bit),
+            then ONE batch-stacked MLP call serves both (same weights) —
+            half the GEMM launches of the unmerged layout."""
             b = H.shape[0]
-            sa = L.layernorm(p[f"{name_a}_ln1"],
-                             H + L.linear(p[f"{name_a}_out"], ctx_a, dtype))
-            sb = L.layernorm(p[f"{name_b}_ln1"],
-                             H + L.linear(p[f"{name_b}_out"], ctx_b, dtype))
+            wo = jnp.stack([p[f"{name_a}_out"]["w"],
+                            p[f"{name_b}_out"]["w"]]).astype(dtype)
+            bo = jnp.stack([p[f"{name_a}_out"]["b"],
+                            p[f"{name_b}_out"]["b"]]).astype(jnp.float32)
+            ctx = jnp.stack([ctx_a, ctx_b]).astype(dtype)
+            s2 = jnp.einsum("pbtd,pde->pbte", ctx, wo,
+                            preferred_element_type=jnp.float32)
+            s2 = (s2 + bo[:, None, None]).astype(dtype)
+            sa = L.layernorm(p[f"{name_a}_ln1"], H + s2[0])
+            sb = L.layernorm(p[f"{name_b}_ln1"], H + s2[1])
             m = L.mlp(p[mlp_name], jnp.concatenate([sa, sb], axis=0),
                       cfg.dropout, rngs(), deterministic, dtype,
                       fused_ok=not cfg.tensor_parallel or tp_mesh is not None,

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Burn down the TPU measurement backlog in ONE session (VERDICT r3 #2/#3).
+#
+# Run the moment the axon tunnel returns (the /tmp watcher invokes this
+# automatically). Every step logs to $LOGDIR and keeps going on failure so
+# one bad step doesn't strand the rest of the session. Order matters:
+# cheapest/highest-value first, the 35k-row pipeline run last (longest).
+#
+#   bash tools/tpu_backlog.sh [LOGDIR]
+#
+# Afterwards: inspect the A/B deltas, flip SwinConfig.fused_attn /
+# ModelConfig.merged_paths / stacked_heads defaults if they win (or commit
+# the negative result), and commit benchmarks/results.json +
+# BENCHMARKS.md + BASELINE.md + pipeline_timings.json.
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR=${1:-/tmp/tpu_backlog_$(date +%H%M)}
+mkdir -p "$LOGDIR"
+echo "=== TPU backlog run, logs in $LOGDIR ==="
+
+run() {
+  local name=$1; shift
+  echo "--- $name: $* ($(date +%H:%M:%S))"
+  timeout "$TMO" "$@" > "$LOGDIR/$name.log" 2>&1
+  local rc=$?
+  echo "--- $name rc=$rc ($(date +%H:%M:%S)); tail:"
+  tail -3 "$LOGDIR/$name.log"
+  return $rc
+}
+
+TMO=900  run graft_entry python __graft_entry__.py
+TMO=1200 run bench       python bench.py
+TMO=3600 run suite       python benchmarks/bench_suite.py
+TMO=1800 run swin_ab     python benchmarks/bench_swin_ab.py
+TMO=2400 run merged_ab   python benchmarks/bench_merged_ab.py
+TMO=1800 run tp_ab       python benchmarks/bench_tp_ab.py
+TMO=1200 run train_drive python train.py --synthetic_samples 512 --epochs 2 \
+    --log_every 4 --output_dir "$LOGDIR/train_run"
+TMO=5400 run pipeline    python -m mmd_tpu.pipelines.run_all \
+    --synthetic 35000 --image_size 256 --reference_encoders \
+    --timings_json benchmarks/pipeline_timings.json \
+    --root "$LOGDIR/pipe_root"
+# regenerate the number docs from the fresh results.json + timings
+TMO=300  run regen       python benchmarks/bench_suite.py --write_only
+echo "=== backlog done ($(date +%H:%M:%S)) — see $LOGDIR ==="
