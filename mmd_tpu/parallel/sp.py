@@ -1,0 +1,135 @@
+"""Sequence (context) parallelism for encoder serving, over ICI.
+
+The reference serves every encoder single-device; next to DP (trainer),
+TP (tp.py), ZeRO-1, and PP (pp.py) this completes the parallelism matrix
+with the SEQUENCE axis: activations shard along T across `sp` ranks, so
+the per-token work — projections, residuals, LayerNorms, the FFN (all
+position-independent) — runs on T/sp tokens per device with REPLICATED
+weights, and only attention needs communication.
+
+TPU-first shape of that communication: query rows of a non-causal
+attention are independent, so each rank keeps its local Q rows and
+`all_gather`s the (much smaller than activations-squared) K/V blocks over
+the model axis — one tiled ICI collective per layer, after which the
+fused Pallas flash kernel runs device-locally on (B, T/sp, D) x (B, T, D)
+(shard_map, same discipline as tp.py: GSPMD cannot partition a
+pallas_call, but a device-local call needs no partitioning). The MPNet
+relative-position bias is replicated and each rank slices its own query
+rows; key-padding masks are replicated (they describe keys, which every
+rank sees in full).
+
+Covers the post-LN text-encoder stacks the reference actually serves
+(BERT/MiniLM key-padding and MPNet relative-bias; reference
+text2text_retrieval.py:21-24). Equality vs the unsplit forward is tested
+on the virtual mesh in tests/test_sp.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mmd_tpu.core.mesh import MODEL_AXIS
+from mmd_tpu.models import layers as L
+from mmd_tpu.ops.attention import multi_head_attention
+
+
+def sequence_parallel_encode(
+    params: dict,
+    cfg,
+    input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    *,
+    mesh: Mesh,
+    axis: str = MODEL_AXIS,
+    token_type_ids: Optional[jax.Array] = None,
+) -> jax.Array:
+    """last_hidden_state (B, T, D) == text_encoder.encode, with the
+    activations sequence-sharded over `axis` (weights replicated)."""
+    from mmd_tpu.models.transformer import embed, mpnet_position_bias
+
+    if getattr(cfg, "pre_ln", False) or getattr(cfg, "is_decoder", False):
+        raise NotImplementedError(
+            "sequence_parallel_encode serves the post-LN encoder stacks")
+    sp = mesh.shape[axis]
+    t = input_ids.shape[1]
+    if t % sp != 0:
+        raise ValueError(f"seq len {t} must divide by sp ranks {sp}")
+    tl = t // sp
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    x = embed(params["embeddings"], cfg, input_ids, token_type_ids)
+    bias = (mpnet_position_bias(params, cfg, t)
+            if getattr(cfg, "relative_bias_buckets", 0) else None)
+    km = (attention_mask.astype(jnp.float32)
+          if attention_mask is not None else None)
+
+    def layer(p, h_loc, k_full_mask, mask_loc):
+        q = L.linear(p["q"], h_loc, dtype)
+        k = L.linear(p["k"], h_loc, dtype)
+        v = L.linear(p["v"], h_loc, dtype)
+        # one tiled ICI collective per layer: K/V blocks -> full T
+        k_full = jax.lax.all_gather(k, axis, axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v, axis, axis=1, tiled=True)
+        if mask_loc is not None:
+            # additive path (rel bias and/or padding), local query rows
+            b, _, d = q.shape
+            hn = cfg.num_heads
+            dh = d // hn
+            qh = q.reshape(b, tl, hn, dh).transpose(0, 2, 1, 3)
+            kh = k_full.reshape(b, t, hn, dh).transpose(0, 2, 1, 3)
+            vh = v_full.reshape(b, t, hn, dh).transpose(0, 2, 1, 3)
+            scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
+                                preferred_element_type=jnp.float32)
+            scores = scores / (dh ** 0.5) + mask_loc
+            w = jax.nn.softmax(scores.astype(jnp.float32),
+                               axis=-1).astype(vh.dtype)
+            ctx = jnp.einsum("bhts,bhsd->bhtd", w, vh,
+                             preferred_element_type=jnp.float32)
+            ctx = ctx.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b, tl, d)
+        else:
+            ctx = multi_head_attention(
+                q, k_full, v_full, cfg.num_heads, fused=cfg.fused_attn,
+                key_mask=k_full_mask)
+        h_loc = L.layernorm(p["ln1"], h_loc + L.linear(p["attn_out"], ctx,
+                                                       dtype),
+                            cfg.layer_norm_eps)
+        f = jax.nn.gelu(L.linear(p["ffn_in"], h_loc, dtype),
+                        approximate=False)
+        return L.layernorm(p["ln2"], h_loc + L.linear(p["ffn_out"], f,
+                                                      dtype),
+                           cfg.layer_norm_eps)
+
+    def body(layers_p, x_loc, *rest):
+        rest = list(rest)
+        km_full = rest.pop(0) if km is not None else None
+        bias_full = rest.pop(0) if bias is not None else None
+        i = jax.lax.axis_index(axis)
+        mask_loc = None
+        if bias_full is not None:
+            # slice this rank's query rows of the shared (1, H, T, T) bias
+            mask_loc = jax.lax.dynamic_slice_in_dim(bias_full, i * tl, tl,
+                                                    axis=2)
+            if km_full is not None:
+                mask_loc = mask_loc + (1.0 - km_full[:, None, None, :]) * -1e9
+        h = x_loc
+        for p in layers_p:
+            h = layer(p, h, km_full, mask_loc)
+        return h
+
+    repl = P()
+    seq_sharded = P(None, axis)
+    layers_specs = jax.tree_util.tree_map(lambda _: repl, params["layers"])
+    in_specs = [layers_specs, seq_sharded]
+    args = [params["layers"], x]
+    if km is not None:
+        in_specs.append(repl)
+        args.append(km)
+    if bias is not None:
+        in_specs.append(repl)
+        args.append(bias)
+    return jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                         out_specs=seq_sharded, check_vma=False)(*args)
