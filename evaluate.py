@@ -29,6 +29,13 @@ def main():
     p.add_argument("--embed_dim", type=int, default=256)
     p.add_argument("--num_heads", type=int, default=8)
     p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--text_parallelism", choices=["tp", "pp", "sp"],
+                   default=None,
+                   help="serve the frozen text encoder over all devices "
+                        "(Megatron TP / GPipe PP / sequence parallel)")
+    p.add_argument("--model_parallel", type=int, default=0,
+                   help="model-axis size for --text_parallelism "
+                        "(default: all devices)")
     args = p.parse_args()
 
     from mmd_tpu.core.config import ModelConfig
@@ -39,8 +46,16 @@ def main():
         text_input_dim=args.text_input_dim,
         image_input_dim=args.image_input_dim, embed_dim=args.embed_dim,
         num_heads=args.num_heads, hidden_dim=args.hidden_dim)
+    mesh = None
+    if args.text_parallelism:
+        import jax
+
+        from mmd_tpu.core.mesh import make_mesh
+        mesh = make_mesh(model_parallel=args.model_parallel
+                         or len(jax.devices()))
     predictor = MisinformationPredictor(
-        cfg, checkpoint_path=args.checkpoint, assets_dir=args.assets)
+        cfg, checkpoint_path=args.checkpoint, assets_dir=args.assets,
+        mesh=mesh, text_parallelism=args.text_parallelism)
     result = predictor.evaluate(
         args.claim_text, args.claim_image,
         args.evidence_text, args.evidence_image, detailed=args.detailed)

@@ -37,7 +37,12 @@ class MisinformationPredictor:
                  checkpoint_path: Optional[str] = None,
                  encoders: Optional[FrozenEncoders] = None,
                  assets_dir: str = "assets/encoders",
-                 max_length: int = 512, batch_size: int = 16):
+                 max_length: int = 512, batch_size: int = 16,
+                 mesh=None, text_parallelism: Optional[str] = None):
+        """text_parallelism: serve the frozen text encoder over `mesh` —
+        "tp" (Megatron split via tp.shard_encoder), "pp" (GPipe stages),
+        or "sp" (sequence parallel). None = single-device serving, the
+        reference's deployment shape (evaluate.py:12-33)."""
         import jax
         import jax.numpy as jnp
 
@@ -45,6 +50,10 @@ class MisinformationPredictor:
         self.enc = encoders or load_or_init_frozen(assets_dir)
         self.max_length = max_length
         self.batch_size = batch_size
+        if text_parallelism is not None and mesh is None:
+            raise ValueError("text_parallelism requires a mesh")
+        self._mesh = mesh
+        self._text_mode = text_parallelism
         if fusion_params is None:
             if checkpoint_path:
                 from mmd_tpu.core.checkpoint import load_params
@@ -58,10 +67,23 @@ class MisinformationPredictor:
 
         # params as explicit jit args (closed-over arrays become HLO
         # constants and bloat the compile payload)
-        @jax.jit
-        def _text(p, ids, mask):
-            from mmd_tpu.models.frozen import text_encode
-            return text_encode(p, self.enc.text_cfg, ids, mask)
+        if self._text_mode is None:
+            @jax.jit
+            def _text(p, ids, mask):
+                from mmd_tpu.models.frozen import text_encode
+                return text_encode(p, self.enc.text_cfg, ids, mask)
+        else:
+            from mmd_tpu.models.frozen import text_encode_parallel
+            if self._text_mode == "tp":
+                from mmd_tpu.parallel.tp import shard_encoder
+                self.enc.text_params = shard_encoder(self.enc.text_params,
+                                                     self._mesh)
+
+            @jax.jit
+            def _text(p, ids, mask):
+                return text_encode_parallel(p, self.enc.text_cfg, ids, mask,
+                                            mesh=self._mesh,
+                                            mode=self._text_mode)
 
         @jax.jit
         def _image(p, u8):

@@ -52,6 +52,39 @@ def text_encode(params: dict, cfg, input_ids, attention_mask=None):
     return te.encode(params, cfg, input_ids, attention_mask)
 
 
+def text_encode_parallel(params: dict, cfg, input_ids, attention_mask=None,
+                         *, mesh, mode: str):
+    """Serve text_encode under a parallelism strategy over `mesh`:
+
+      "tp"  Megatron head/FFN-column split (params must already be
+            device-put by tp.shard_encoder; this just runs the encode —
+            GSPMD partitions it by the param shardings)
+      "pp"  GPipe layer stages over the model axis (BERT/MPNet/DeBERTa)
+      "sp"  sequence/context parallel (BERT/MPNet post-LN stacks)
+
+    Same (B, T, D) contract as text_encode; every path is equality-tested
+    vs the unsplit forward (tests/test_tp.py, test_pp.py, test_sp.py)."""
+    from mmd_tpu.models.deberta import DebertaConfig
+
+    is_deberta = isinstance(cfg, DebertaConfig)
+    if mode == "tp":
+        return text_encode(params, cfg, input_ids, attention_mask)
+    if mode == "pp":
+        from mmd_tpu.parallel.pp import (
+            pipeline_encode, pipeline_encode_deberta)
+        fn = pipeline_encode_deberta if is_deberta else pipeline_encode
+        return fn(params, cfg, input_ids, attention_mask, mesh=mesh)
+    if mode == "sp":
+        if is_deberta:
+            raise NotImplementedError(
+                "sequence-parallel serving covers the post-LN stacks; "
+                "serve DeBERTa under tp or pp")
+        from mmd_tpu.parallel.sp import sequence_parallel_encode
+        return sequence_parallel_encode(params, cfg, input_ids,
+                                        attention_mask, mesh=mesh)
+    raise ValueError(f"unknown text parallelism mode: {mode!r}")
+
+
 def image_encode(params: dict, cfg, images):
     """Dispatch on the image-encoder family: ViT substitute or Swinv2 (the
     reference's actual encoder, used when its converted checkpoint is

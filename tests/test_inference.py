@@ -62,6 +62,43 @@ def tiny_predictor(tmp_path_factory):
     return MisinformationPredictor(cfg, encoders=enc, batch_size=4)
 
 
+def test_predictor_parallel_text_serving_matches_serial(tmp_path_factory):
+    """Predictor with text_parallelism='pp'/'sp' over a (4, 2) mesh embeds
+    texts identically to single-device serving — the parallel paths are
+    deployable from the inference surface, not just the library."""
+    import jax
+
+    from mmd_tpu.core.config import ModelConfig
+    from mmd_tpu.core.mesh import make_mesh
+    from mmd_tpu.inference.predictor import MisinformationPredictor
+    from mmd_tpu.models.frozen import load_or_init_frozen
+
+    assets = tmp_path_factory.mktemp("assets_par")
+    enc = load_or_init_frozen(assets, vocab_texts=["claim evidence text"],
+                              vocab_size=300, tiny=True)
+    cfg = ModelConfig(text_input_dim=enc.text_cfg.hidden_size,
+                      image_input_dim=enc.vit_cfg.hidden_size,
+                      embed_dim=32, num_heads=4, hidden_dim=16,
+                      compute_dtype="float32")
+    mesh = make_mesh(jax.devices(), model_parallel=2)
+    texts = ["a first claim", "some evidence", "a third text"]
+
+    base = MisinformationPredictor(cfg, encoders=enc, batch_size=4,
+                                   max_length=16)
+    want = base._encode_texts(texts)
+    for mode in ("pp", "sp"):
+        enc_m = load_or_init_frozen(assets, tiny=True)
+        pred = MisinformationPredictor(cfg, encoders=enc_m, batch_size=4,
+                                       max_length=16, mesh=mesh,
+                                       text_parallelism=mode)
+        got = pred._encode_texts(texts)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6,
+                                   err_msg=mode)
+
+    with pytest.raises(ValueError, match="requires a mesh"):
+        MisinformationPredictor(cfg, encoders=enc, text_parallelism="pp")
+
+
 @pytest.fixture(scope="module")
 def sample_image(tmp_path_factory):
     from PIL import Image
