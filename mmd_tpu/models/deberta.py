@@ -354,6 +354,88 @@ def _disentangled_attention(p, cfg: DebertaConfig, x, rel_emb, c2p_map,
     return L.linear(p["attn_out"], ctx, dtype)
 
 
+def _disentangled_attention_sp(p, cfg: DebertaConfig, x_loc, rel_emb,
+                               c2p_map, p2c_map, key_mask_full, dtype,
+                               axis: str, t_full: int, row_offset):
+    """Sequence-parallel variant of _disentangled_attention: x_loc holds
+    this rank's T/sp query rows (absolute offset `row_offset`, traced);
+    K/V are computed locally and all-gathered over `axis` to full T. The
+    diagonal one-hot selections regenerate from iotas offset by the
+    absolute row position, so every rank picks exactly its slice of the
+    unsplit (T, 2T-1, T) selection — same math, 1/sp of the rows."""
+    h = cfg.num_heads
+    dh = cfg.hidden_size // h
+    tl = x_loc.shape[1]
+    t = t_full
+    scale = math.sqrt(dh * 3.0)
+
+    q = _heads(L.linear(p["q"], x_loc, dtype), h)          # (B, h, tl, dh)
+    k_loc = _heads(L.linear(p["k"], x_loc, dtype), h)
+    v_loc = _heads(L.linear(p["v"], x_loc, dtype), h)
+    k = jax.lax.all_gather(k_loc, axis, axis=2, tiled=True)  # (B, h, T, dh)
+    v = jax.lax.all_gather(v_loc, axis, axis=2, tiled=True)
+
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                        preferred_element_type=jnp.float32) / scale
+
+    pos_k = _heads(L.linear(p["k"], rel_emb[None], dtype), h)[0]
+    pos_q = _heads(L.linear(p["q"], rel_emb[None], dtype), h)[0]
+    pos_k_d = jnp.take(pos_k, jnp.asarray(c2p_map), axis=1)   # (h, 2T-1, dh)
+    pos_q_d = jnp.take(pos_q, jnp.asarray(p2c_map), axis=1)
+
+    c2p = jnp.einsum("bhtd,hjd->bhtj", q, pos_k_d,
+                     preferred_element_type=jnp.float32)      # (B,h,tl,2T-1)
+    p2c = jnp.einsum("bhsd,hjd->bhsj", k, pos_q_d,
+                     preferred_element_type=jnp.float32)      # (B,h,T,2T-1)
+
+    # c2p rows are LOCAL queries: onehot[t',j,s] = (j == T-1-(t'+o)+s)
+    tprime = (jax.lax.broadcasted_iota(jnp.int32, (tl, 2 * t - 1, t), 0)
+              + row_offset)
+    jq = jax.lax.broadcasted_iota(jnp.int32, (tl, 2 * t - 1, t), 1)
+    ss = jax.lax.broadcasted_iota(jnp.int32, (tl, 2 * t - 1, t), 2)
+    oh_c2p = (jq == (t - 1) - tprime + ss).astype(dtype)
+    c2p_sel = jnp.einsum("bhtj,tjs->bhts", c2p.astype(dtype), oh_c2p,
+                         preferred_element_type=jnp.float32)
+
+    # p2c rows are FULL key positions, cols LOCAL queries:
+    # onehot[s,j,t'] = (j == T-1-s+(t'+o))
+    srow = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * t - 1, tl), 0)
+    jq2 = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * t - 1, tl), 1)
+    tcol = (jax.lax.broadcasted_iota(jnp.int32, (t, 2 * t - 1, tl), 2)
+            + row_offset)
+    oh_p2c = (jq2 == (t - 1) - srow + tcol).astype(dtype)
+    p2c_sel = jnp.einsum("bhtj,tjs->bhts", p2c.astype(dtype), oh_p2c,
+                         preferred_element_type=jnp.float32)  # (B,h,T,tl)
+
+    scores = scores + c2p_sel / scale
+    scores = scores + jnp.swapaxes(p2c_sel, -1, -2) / scale
+
+    if key_mask_full is not None:
+        neg = jnp.finfo(jnp.float32).min
+        scores = jnp.where(key_mask_full[:, None, None, :].astype(bool),
+                           scores, neg)
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+    ctx = jnp.einsum("bhts,bhsd->bhtd", w, v,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    b = ctx.shape[0]
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tl, cfg.hidden_size)
+    return L.linear(p["attn_out"], ctx, dtype)
+
+
+def deberta_layer_sp(p: dict, cfg: DebertaConfig, x_loc, rel_emb, c2p_map,
+                     p2c_map, key_mask_full, dtype, axis: str, t_full: int,
+                     row_offset):
+    """deberta_layer with sequence-parallel attention; LN/FFN per-token."""
+    a = _disentangled_attention_sp(p, cfg, x_loc, rel_emb, c2p_map,
+                                   p2c_map, key_mask_full, dtype, axis,
+                                   t_full, row_offset)
+    x = L.layernorm(p["ln1"], x_loc + a, cfg.layer_norm_eps)
+    hdn = jax.nn.gelu(L.linear(p["ffn_in"], x, dtype),
+                      approximate=(dtype == jnp.bfloat16))
+    return L.layernorm(p["ln2"], x + L.linear(p["ffn_out"], hdn, dtype),
+                       cfg.layer_norm_eps)
+
+
 def deberta_embed(params: dict, cfg: DebertaConfig, input_ids: jax.Array,
                   attention_mask: Optional[jax.Array] = None):
     """(x, rel_emb): embedded tokens + the LN'd shared relative-position

@@ -75,13 +75,11 @@ def text_encode_parallel(params: dict, cfg, input_ids, attention_mask=None,
         fn = pipeline_encode_deberta if is_deberta else pipeline_encode
         return fn(params, cfg, input_ids, attention_mask, mesh=mesh)
     if mode == "sp":
-        if is_deberta:
-            raise NotImplementedError(
-                "sequence-parallel serving covers the post-LN stacks; "
-                "serve DeBERTa under tp or pp")
-        from mmd_tpu.parallel.sp import sequence_parallel_encode
-        return sequence_parallel_encode(params, cfg, input_ids,
-                                        attention_mask, mesh=mesh)
+        from mmd_tpu.parallel.sp import (
+            sequence_parallel_encode, sequence_parallel_encode_deberta)
+        fn = (sequence_parallel_encode_deberta if is_deberta
+              else sequence_parallel_encode)
+        return fn(params, cfg, input_ids, attention_mask, mesh=mesh)
     raise ValueError(f"unknown text parallelism mode: {mode!r}")
 
 

@@ -13,7 +13,9 @@ from mmd_tpu.core.mesh import (
 )
 from mmd_tpu.ops.topk import make_sharded_topk
 from mmd_tpu.parallel.pp import pipeline_encode, pipeline_encode_deberta
-from mmd_tpu.parallel.sp import sequence_parallel_encode
+from mmd_tpu.parallel.sp import (
+    sequence_parallel_encode, sequence_parallel_encode_deberta,
+)
 from mmd_tpu.parallel.tp import (
     encoder_specs, shard_encoder, shard_tree, state_specs,
     validate_tp_config,
@@ -23,7 +25,7 @@ __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "batch_sharding", "corpus_sharding",
     "local_mesh", "make_mesh", "replicated", "shard_batch",
     "make_sharded_topk", "pipeline_encode", "pipeline_encode_deberta",
-    "sequence_parallel_encode",
+    "sequence_parallel_encode", "sequence_parallel_encode_deberta",
     "encoder_specs", "shard_encoder", "shard_tree",
     "state_specs", "validate_tp_config",
 ]

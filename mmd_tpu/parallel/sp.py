@@ -133,3 +133,54 @@ def sequence_parallel_encode(
         args.append(bias)
     return jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
                          out_specs=seq_sharded, check_vma=False)(*args)
+
+
+def sequence_parallel_encode_deberta(
+    params: dict,
+    cfg,
+    input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    *,
+    mesh: Mesh,
+    axis: str = MODEL_AXIS,
+) -> jax.Array:
+    """last_hidden_state (B, T, D) == deberta.deberta_encode, with the
+    activations sequence-sharded over `axis`.
+
+    DeBERTa's disentangled attention joins the scheme the same way: local
+    Q rows against all-gathered K/V, with the diagonal one-hot selections
+    regenerated from iotas offset by each rank's absolute row position
+    (deberta._disentangled_attention_sp). The shared rel-pos table and
+    key-padding mask are replicated (they describe all positions/keys)."""
+    from mmd_tpu.models import deberta as D
+
+    sp = mesh.shape[axis]
+    t = input_ids.shape[1]
+    if t % sp != 0:
+        raise ValueError(f"seq len {t} must divide by sp ranks {sp}")
+    tl = t // sp
+    dtype = jnp.dtype(cfg.compute_dtype)
+    c2p_map, p2c_map = D._diag_maps(t, cfg)
+    x, rel_emb = D.deberta_embed(params, cfg, input_ids, attention_mask)
+    km = (attention_mask.astype(jnp.float32)
+          if attention_mask is not None else None)
+
+    def body(layers_p, x_loc, rel_emb_, *rest):
+        km_full = rest[0] if km is not None else None
+        off = jax.lax.axis_index(axis) * tl
+        h = x_loc
+        for p in layers_p:
+            h = D.deberta_layer_sp(p, cfg, h, rel_emb_, c2p_map, p2c_map,
+                                   km_full, dtype, axis, t, off)
+        return h
+
+    repl = P()
+    seq_sharded = P(None, axis)
+    layers_specs = jax.tree_util.tree_map(lambda _: repl, params["layers"])
+    in_specs = [layers_specs, seq_sharded, repl]
+    args = [params["layers"], x, rel_emb]
+    if km is not None:
+        in_specs.append(repl)
+        args.append(km)
+    return jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                         out_specs=seq_sharded, check_vma=False)(*args)

@@ -76,6 +76,38 @@ def test_sp_encode_mpnet_rel_bias(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("sp", [2, 4])
+def test_sp_encode_deberta_matches_unsplit(rng, sp):
+    """Disentangled attention under SP: local Q rows vs all-gathered K/V,
+    one-hot selections offset by the rank's absolute row position."""
+    from mmd_tpu.models import deberta as D
+    from mmd_tpu.parallel.sp import sequence_parallel_encode_deberta
+
+    cfg = dataclasses.replace(D.DEBERTA_TEST, compute_dtype="float32")
+    params = D.init_deberta(jax.random.key(4), cfg)
+    ids, mask = _inputs(rng)
+    want = np.asarray(D.deberta_encode(params, cfg, ids, mask))
+    mesh = make_mesh(jax.devices(), model_parallel=sp)
+    got = np.asarray(jax.jit(
+        lambda p, i, a: sequence_parallel_encode_deberta(
+            p, cfg, i, a, mesh=mesh))(params, ids, mask))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_sp_encode_deberta_no_mask(rng):
+    from mmd_tpu.models import deberta as D
+    from mmd_tpu.parallel.sp import sequence_parallel_encode_deberta
+
+    cfg = dataclasses.replace(D.DEBERTA_TEST, compute_dtype="float32")
+    params = D.init_deberta(jax.random.key(5), cfg)
+    ids, _ = _inputs(rng)
+    want = np.asarray(D.deberta_encode(params, cfg, ids))
+    mesh = make_mesh(jax.devices(), model_parallel=2)
+    got = np.asarray(sequence_parallel_encode_deberta(params, cfg, ids,
+                                                      mesh=mesh))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 def test_sp_validates_divisibility(rng):
     import mmd_tpu.models.text_encoder as te
 
