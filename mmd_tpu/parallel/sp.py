@@ -37,6 +37,62 @@ from mmd_tpu.models import layers as L
 from mmd_tpu.ops.attention import multi_head_attention
 
 
+def _ring_attention(q, k_loc, v_loc, num_heads: int, axis: str, sp: int,
+                    tl: int, i, km_full, bias_loc):
+    """Blockwise ring attention (the SURVEY §5 long-context seam): each
+    rank keeps its local Q rows and ROTATES the K/V blocks around the ICI
+    ring with `lax.ppermute`, folding each arriving block into a running
+    flash-style softmax (online max / denominator / output accumulators).
+    Peak memory is ONE (B, h, T/sp, dh) K/V block instead of the full T,
+    and on hardware each hop overlaps with the block's matmuls.
+
+    km_full: optional (B, T) {0,1} replicated key-padding mask — the
+    arriving block's absolute position is (i - step) mod sp, so its mask
+    slice is computed locally from the replicated mask (no mask rotation
+    traffic). bias_loc: optional (B|1, h, tl, T) additive bias for the
+    LOCAL query rows (full key axis, sliced per arriving block).
+
+    Same math as softmax(QK^T + bias) V up to fp reassociation."""
+    b = q.shape[0]
+    d = q.shape[-1]
+    h = num_heads
+    dh = d // h
+    qh = q.reshape(b, tl, h, dh).transpose(0, 2, 1, 3)       # (B,h,tl,dh)
+    kh = k_loc.reshape(b, tl, h, dh).transpose(0, 2, 1, 3)
+    vh = v_loc.reshape(b, tl, h, dh).transpose(0, 2, 1, 3)
+    scale = 1.0 / (dh ** 0.5)
+
+    m = jnp.full((b, h, tl, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, h, tl, 1), jnp.float32)
+    o = jnp.zeros((b, h, tl, dh), jnp.float32)
+    perm = [(s, (s + 1) % sp) for s in range(sp)]
+    for step in range(sp):
+        # block arriving at rank i on this step originated at rank i-step
+        src = (i - step) % sp
+        s_blk = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
+                           preferred_element_type=jnp.float32) * scale
+        if bias_loc is not None:
+            s_blk = s_blk + jax.lax.dynamic_slice_in_dim(
+                bias_loc, src * tl, tl, axis=3)
+        if km_full is not None:
+            km_blk = jax.lax.dynamic_slice_in_dim(km_full, src * tl, tl,
+                                                  axis=1)
+            s_blk = s_blk + (1.0 - km_blk[:, None, None, :]) * -1e9
+        m_new = jnp.maximum(m, jnp.max(s_blk, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(s_blk - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        o = o * corr + jnp.einsum("bhts,bhsd->bhtd",
+                                  p.astype(vh.dtype), vh,
+                                  preferred_element_type=jnp.float32)
+        m = m_new
+        if step < sp - 1:
+            kh = jax.lax.ppermute(kh, axis, perm)
+            vh = jax.lax.ppermute(vh, axis, perm)
+    out = (o / l).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, tl, d)
+
+
 def sequence_parallel_encode(
     params: dict,
     cfg,
@@ -46,9 +102,14 @@ def sequence_parallel_encode(
     mesh: Mesh,
     axis: str = MODEL_AXIS,
     token_type_ids: Optional[jax.Array] = None,
+    ring: bool = False,
 ) -> jax.Array:
     """last_hidden_state (B, T, D) == text_encoder.encode, with the
-    activations sequence-sharded over `axis` (weights replicated)."""
+    activations sequence-sharded over `axis` (weights replicated).
+    ring=True swaps the per-layer K/V all-gather for blockwise ring
+    attention (_ring_attention): K/V hop the ICI ring via ppermute while
+    a flash-style online softmax folds each block in — peak memory one
+    block, comm overlapped with compute."""
     from mmd_tpu.models.transformer import embed, mpnet_position_bias
 
     if getattr(cfg, "pre_ln", False) or getattr(cfg, "is_decoder", False):
@@ -67,10 +128,17 @@ def sequence_parallel_encode(
     km = (attention_mask.astype(jnp.float32)
           if attention_mask is not None else None)
 
-    def layer(p, h_loc, k_full_mask, mask_loc):
+    def layer(p, h_loc, k_full_mask, mask_loc, i):
         q = L.linear(p["q"], h_loc, dtype)
         k = L.linear(p["k"], h_loc, dtype)
         v = L.linear(p["v"], h_loc, dtype)
+        if ring:
+            # km folds into mask_loc on the bias path; otherwise the
+            # replicated key mask is sliced per arriving block
+            ctx = _ring_attention(
+                q, k, v, cfg.num_heads, axis, sp, tl, i,
+                None if mask_loc is not None else k_full_mask, mask_loc)
+            return _finish(p, h_loc, ctx)
         # one tiled ICI collective per layer: K/V blocks -> full T
         k_full = jax.lax.all_gather(k, axis, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v, axis, axis=1, tiled=True)
@@ -94,6 +162,9 @@ def sequence_parallel_encode(
             ctx = multi_head_attention(
                 q, k_full, v_full, cfg.num_heads, fused=cfg.fused_attn,
                 key_mask=k_full_mask)
+        return _finish(p, h_loc, ctx)
+
+    def _finish(p, h_loc, ctx):
         h_loc = L.layernorm(p["ln1"], h_loc + L.linear(p["attn_out"], ctx,
                                                        dtype),
                             cfg.layer_norm_eps)
@@ -117,7 +188,7 @@ def sequence_parallel_encode(
                 mask_loc = mask_loc + (1.0 - km_full[:, None, None, :]) * -1e9
         h = x_loc
         for p in layers_p:
-            h = layer(p, h, km_full, mask_loc)
+            h = layer(p, h, km_full, mask_loc, i)
         return h
 
     repl = P()

@@ -76,6 +76,42 @@ def test_sp_encode_mpnet_rel_bias(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("sp", [2, 8])
+def test_sp_ring_attention_matches_unsplit(rng, sp):
+    """ring=True (K/V blocks hop the ICI ring under an online softmax)
+    computes the same attention as the all-gather path up to fp
+    reassociation — with and without key padding."""
+    import mmd_tpu.models.text_encoder as te
+
+    cfg = _cfg()
+    params = te.init_text_encoder(jax.random.key(6), cfg)
+    ids, mask = _inputs(rng)
+    mesh = make_mesh(jax.devices(), model_parallel=sp)
+    for m in (mask, None):
+        want = np.asarray(te.encode(params, cfg, ids, m))
+        got = np.asarray(jax.jit(
+            lambda p, i, a: sequence_parallel_encode(p, cfg, i, a,
+                                                     mesh=mesh, ring=True),
+            static_argnums=())(params, ids, m))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_sp_ring_mpnet_rel_bias(rng):
+    import mmd_tpu.models.text_encoder as te
+
+    cfg = _cfg(relative_bias_buckets=8, mpnet_positions=True,
+               type_vocab_size=0, pad_token_id=1)
+    params = te.init_text_encoder(jax.random.key(7), cfg)
+    ids, mask = _inputs(rng)
+    want = np.asarray(te.encode(params, cfg, ids, mask))
+    mesh = make_mesh(jax.devices(), model_parallel=4)
+    got = np.asarray(jax.jit(
+        lambda p, i, a: sequence_parallel_encode(p, cfg, i, a, mesh=mesh,
+                                                 ring=True))(
+        params, ids, mask))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("sp", [2, 4])
 def test_sp_encode_deberta_matches_unsplit(rng, sp):
     """Disentangled attention under SP: local Q rows vs all-gathered K/V,
