@@ -78,6 +78,7 @@ class MeshConfig:
     model_parallel: int = 1       # devices along the model axis
     tensor_parallel: bool = False  # run the train step TP-sharded (tp.py)
     zero1: bool = False           # shard AdamW moments over the data axis
+    zero3: bool = False           # FSDP: shard params AND moments over data
 
 
 @dataclass
@@ -158,6 +159,9 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                         "(requires --model_parallel >= 2; parallel/tp.py)")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard AdamW moments over the data axis")
+    p.add_argument("--zero3", action="store_true",
+                   help="ZeRO-3/FSDP: shard params AND moments over the "
+                        "data axis (1/n per rank; gather-on-use)")
     p.add_argument("--compute_dtype", type=str, default=d.model.compute_dtype,
                    choices=["bfloat16", "float32"])
 
@@ -185,7 +189,8 @@ def train_config_from_args(args: argparse.Namespace) -> TrainConfig:
     )
     mesh = MeshConfig(model_parallel=args.model_parallel,
                       tensor_parallel=getattr(args, "tensor_parallel", False),
-                      zero1=getattr(args, "zero1", False))
+                      zero1=getattr(args, "zero1", False),
+                      zero3=getattr(args, "zero3", False))
     return TrainConfig(
         model=model, data=data, mesh=mesh,
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,

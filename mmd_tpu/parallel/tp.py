@@ -182,6 +182,31 @@ def tp_zero1_specs(state: Any, data_size: int) -> Any:
                           rng=P())
 
 
+def zero3_specs(state: Any, data_size: int) -> Any:
+    """ZeRO-3 / FSDP: PartitionSpecs that shard the PARAMS over the DATA
+    axis as well as the AdamW moments — each DP rank physically holds 1/n
+    of every weight. GSPMD inserts the all-gather where the forward/
+    backward consumes a full weight (and reduce-scatters the grads into
+    the sharded update), which is exactly the FSDP schedule expressed as
+    sharding annotations instead of hand-written collectives. Per-rank
+    training-state memory drops to ~1/n of params+moments; the cost is
+    one weight all-gather per use, riding ICI.
+
+    Leaves whose leading dim does not divide by the axis (tiny biases,
+    Adam's count scalar) stay replicated — they are bytes, not memory."""
+    from mmd_tpu.core.mesh import DATA_AXIS
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[0] % data_size == 0 and shape[0] > 0:
+            return P(DATA_AXIS, *([None] * (len(shape) - 1)))
+        return P()
+
+    params = jax.tree_util.tree_map(spec, state.params)
+    opt = jax.tree_util.tree_map(spec, state.opt_state)
+    return state._replace(step=P(), params=params, opt_state=opt, rng=P())
+
+
 def validate_tp_config(mcfg, mesh: Mesh) -> None:
     tp = mesh.shape[MODEL_AXIS]
     if mcfg.num_heads % tp != 0:

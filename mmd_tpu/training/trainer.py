@@ -298,10 +298,18 @@ class Trainer:
     # with tensor_parallel (moments then shard over data AND model,
     # tp.tp_zero1_specs) and with the raw encoder-in-step path.
     zero1: bool = False
+    # ZeRO-3 / FSDP: params AND moments shard over "data" (each DP rank
+    # holds 1/n of every weight; GSPMD all-gathers weights on use and
+    # reduce-scatters grads into the sharded update). Mutually exclusive
+    # with zero1/tensor_parallel — it subsumes ZeRO-1 and targets the
+    # pure-DP mesh.
+    zero3: bool = False
 
     def __post_init__(self):
         self._state_shardings = None
-        if self.tensor_parallel or self.zero1:
+        if self.zero3 and (self.zero1 or self.tensor_parallel):
+            raise ValueError("zero3 is exclusive with zero1/tensor_parallel")
+        if self.tensor_parallel or self.zero1 or self.zero3:
             from mmd_tpu.parallel import tp as TP
 
             if self.tensor_parallel:
@@ -320,6 +328,9 @@ class Trainer:
                                           self.mesh.shape["data"])
             elif self.tensor_parallel:
                 specs = TP.state_specs(state_shape)
+            elif self.zero3:
+                specs = TP.zero3_specs(state_shape,
+                                       self.mesh.shape["data"])
             else:
                 specs = TP.zero1_specs(state_shape,
                                        self.mesh.shape["data"])

@@ -363,3 +363,44 @@ def test_zero1_matches_dp_and_shards_moments(mesh8, rng):
     assert head_b.sharding.spec == P()                   # (3,) % 8 != 0
     w = state_z.params["representation"]["text_WQ"]["w"]
     assert w.sharding.spec == P()                        # params replicated
+
+
+def test_zero3_matches_dp_and_shards_params(mesh8, rng):
+    """ZeRO-3 / FSDP via GSPMD annotations: params AND moments live 1/8
+    per DP rank (gather-on-use) — same losses as plain DP across steps,
+    weights physically split."""
+    batches = [synthetic_preembed_batch(rng, 16, text_seq=8, image_seq=4,
+                                        text_dim=16, image_dim=24)
+               for _ in range(3)]
+
+    def run(trainer):
+        state = trainer.init(seed=0)
+        losses = []
+        for b in batches:
+            state, aux = trainer.train_step(state, trainer.shard_batch(b))
+            losses.append(float(np.asarray(aux["loss"])))
+        return losses, state
+
+    losses_dp, _ = run(Trainer(_cfg(), mesh8))
+    losses_z, state_z = run(Trainer(_cfg(), mesh8, zero3=True))
+    np.testing.assert_allclose(losses_z, losses_dp, rtol=2e-5, atol=1e-6)
+
+    w = state_z.params["representation"]["text_WQ"]["w"]
+    assert w.sharding.spec[0] == "data"                  # (32, 32) split 8x
+    assert w.addressable_shards[0].data.shape == (4, 32)
+    mu = state_z.opt_state[0].mu["representation"]["text_WQ"]["w"]
+    assert mu.sharding.spec[0] == "data"                 # moments too
+    head_b = state_z.params["classifier"]["mlp_text_given_text"]["fc1"]["b"]
+    assert head_b.sharding.spec == P()                   # (3,) % 8 != 0
+
+    # eval forward works on the FSDP-sharded params
+    ev = Trainer(_cfg(), mesh8, zero3=True)
+    st = ev.init(seed=0)
+    aux = ev.eval_step(st.params, ev.shard_batch(batches[0]))
+    assert np.isfinite(float(np.asarray(aux["loss"])))
+
+
+def test_zero3_excludes_other_strategies(mesh8):
+    import pytest as _pt
+    with _pt.raises(ValueError, match="exclusive"):
+        Trainer(_cfg(), mesh8, zero3=True, zero1=True)

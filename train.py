@@ -55,7 +55,7 @@ def main():
     cfg = train_config_from_args(args)
     mesh = make_mesh(model_parallel=cfg.mesh.model_parallel)
     trainer = Trainer(cfg, mesh, tensor_parallel=cfg.mesh.tensor_parallel,
-                      zero1=cfg.mesh.zero1)
+                      zero1=cfg.mesh.zero1, zero3=cfg.mesh.zero3)
     print(f"[train] mesh: {mesh}")
 
     if args.synthetic_samples:
@@ -101,7 +101,7 @@ def main():
         print(f"[train] {len(store)} raw samples (on-the-fly encoding)")
         trainer = Trainer(cfg, mesh, encoders=enc,
                           tensor_parallel=cfg.mesh.tensor_parallel,
-                          zero1=cfg.mesh.zero1)
+                          zero1=cfg.mesh.zero1, zero3=cfg.mesh.zero3)
 
         def train_batches(epoch):
             return store.batches(cfg.batch_size, shuffle=cfg.data.shuffle,
