@@ -119,6 +119,11 @@ class TrainConfig:
     # >1 scans this many train steps inside ONE compiled call (stacked batch
     # window) — amortizes per-dispatch host overhead
     steps_per_call: int = 1
+    # >1 splits each step's batch into this many interleaved micro-batches
+    # with accumulated grads and ONE optimizer update (trainer._accum_grads)
+    # — trades steps for activation memory; on the raw path the frozen
+    # encoders run per-micro, so their activations never exist at full B
+    accum_steps: int = 1
 
 
 def add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -159,6 +164,8 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                         "(requires --model_parallel >= 2; parallel/tp.py)")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard AdamW moments over the data axis")
+    p.add_argument("--accum_steps", type=int, default=d.accum_steps,
+                   help="micro-batches per step (gradient accumulation)")
     p.add_argument("--zero3", action="store_true",
                    help="ZeRO-3/FSDP: shard params AND moments over the "
                         "data axis (1/n per rank; gather-on-use)")
@@ -201,6 +208,7 @@ def train_config_from_args(args: argparse.Namespace) -> TrainConfig:
         save_best=args.save_best, best_metric=args.best_metric,
         wandb_project=args.wandb_project, wandb_entity=args.wandb_entity,
         resume_from=args.resume_from,
+        accum_steps=getattr(args, "accum_steps", 1),
     )
 
 

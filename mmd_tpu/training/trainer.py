@@ -96,6 +96,36 @@ def _loss_fn(params, mcfg: ModelConfig, batch, rng, deterministic=False,
     return total, aux
 
 
+def _accum_grads(loss_grad_fn, params, batch, rng, accum: int):
+    """Micro-batched gradient accumulation under `lax.scan`: the batch
+    splits into `accum` INTERLEAVED micro-batches (row r goes to micro
+    r % accum — a strided split keeps every micro evenly spread across
+    the DP-sharded batch dim, so no cross-rank resharding), grads sum in
+    f32 and divide by `accum` — equal to the full-batch mean gradient up
+    to fp reassociation. Per-sample aux arrays concatenate back to B
+    rows (paired preds/labels survive the reorder); scalar aux entries
+    average. Dropout draws fold the micro index into the step rng."""
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape(x.shape[0] // accum, accum,
+                            *x.shape[1:]).swapaxes(0, 1), batch)
+
+    def body(g_acc, inp):
+        i, mb = inp
+        (_, aux), g = loss_grad_fn(params, mb, jax.random.fold_in(rng, i))
+        return jax.tree_util.tree_map(jnp.add, g_acc, g), aux
+
+    g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+    g_sum, auxes = jax.lax.scan(body, g0, (jnp.arange(accum), micro))
+    grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+
+    def merge(x):
+        if x.ndim >= 2:
+            return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
+        return jnp.mean(x, axis=0)
+
+    return grads, jax.tree_util.tree_map(merge, auxes)
+
+
 def make_raw_step(
     cfg: TrainConfig, optimizer: Optional[optax.GradientTransformation] = None,
     tp_mesh=None,
@@ -104,15 +134,24 @@ def make_raw_step(
 
     `tp_mesh` routes the fused Pallas attention/MLP kernels through
     shard_map under tensor parallelism (parallel/tp.py; heads and MLP
-    hidden are device-local under the Megatron split)."""
+    hidden are device-local under the Megatron split). cfg.accum_steps>1
+    runs the step as that many micro-batches with accumulated grads and
+    ONE optimizer update (_accum_grads)."""
     optimizer = optimizer or make_optimizer(cfg)
     mcfg = cfg.model
+    accum = max(1, cfg.accum_steps)
 
     def step_fn(state: TrainState, batch: dict):
         rng = jax.random.fold_in(state.rng, state.step)
-        (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-            state.params, mcfg, batch, rng, tp_mesh=tp_mesh
-        )
+        if accum > 1:
+            grads, aux = _accum_grads(
+                lambda p, mb, r: jax.value_and_grad(
+                    _loss_fn, has_aux=True)(p, mcfg, mb, r, tp_mesh=tp_mesh),
+                state.params, batch, rng, accum)
+        else:
+            (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+                state.params, mcfg, batch, rng, tp_mesh=tp_mesh
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, params, opt_state, state.rng)
@@ -176,12 +215,24 @@ def make_encoding_raw_step(cfg: TrainConfig, enc,
         emb["labels"] = batch["labels"]
         return emb
 
+    accum = max(1, cfg.accum_steps)
+
     def step_fn(state: TrainState, frozen: dict, batch: dict):
-        emb = encode(frozen, batch)
         rng = jax.random.fold_in(state.rng, state.step)
-        (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-            state.params, mcfg, emb, rng, tp_mesh=tp_mesh
-        )
+        if accum > 1:
+            # encode INSIDE each micro step — this is where accumulation
+            # actually buys memory: the frozen-encoder activations exist
+            # for one micro-batch at a time
+            grads, aux = _accum_grads(
+                lambda p, mb, r: jax.value_and_grad(
+                    _loss_fn, has_aux=True)(p, mcfg, encode(frozen, mb), r,
+                                            tp_mesh=tp_mesh),
+                state.params, batch, rng, accum)
+        else:
+            emb = encode(frozen, batch)
+            (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+                state.params, mcfg, emb, rng, tp_mesh=tp_mesh
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state, state.rng), aux

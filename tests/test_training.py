@@ -130,3 +130,94 @@ def test_eval_loop_and_metrics(mesh8, rng):
     logs = evaluate(tr, state, iter(batches), cfg.model.num_classes)
     assert "val/loss" in logs and "val/avg_f1" in logs
     assert 0.0 <= logs["val/avg_f1"] <= 1.0
+
+
+def test_grad_accumulation_matches_full_batch(mesh8, rng):
+    """accum_steps=2/4 (micro-batched grads, one update) equals the
+    full-batch gradient up to fp reassociation (dropout off). Params are
+    NOT compared post-AdamW — near-zero grads make mhat/sqrt(vhat) amplify
+    reassociation noise to update scale (see CLAUDE.md / test_tp.py);
+    grads, loss, and the aux contract are the semantic claim."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mmd_tpu.training.trainer import _accum_grads, _loss_fn, init_state
+
+    cfg = dataclasses.replace(small_cfg(dropout=0.0), accum_steps=1)
+    batch = {k: jnp.asarray(v) for k, v in small_batch(rng).items()}
+    params = init_state(cfg, jax.random.key(0)).params
+    rng_key = jax.random.key(1)
+
+    grad_fn = lambda p, mb, r: jax.value_and_grad(_loss_fn, has_aux=True)(
+        p, cfg.model, mb, r)
+    (l_full, aux_full), g_full = jax.jit(grad_fn)(params, batch, rng_key)
+
+    for k in (2, 4):
+        g_acc, aux = jax.jit(lambda p, b, r: _accum_grads(
+            grad_fn, p, b, r, k))(params, batch, rng_key)
+        np.testing.assert_allclose(float(np.asarray(aux["loss"])),
+                                   float(np.asarray(l_full)), rtol=2e-6)
+        assert aux["preds"].shape == aux_full["preds"].shape
+        assert aux["labels"].shape == aux_full["labels"].shape
+        # preds/labels stay PAIRED through the interleaved reorder
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(aux["labels"]), axis=0),
+            np.sort(np.asarray(aux_full["labels"]), axis=0))
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g_full),
+                jax.tree_util.tree_leaves_with_path(g_acc)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            tol = 2e-5 * np.abs(a).max() + 1e-7
+            assert np.abs(a - b).max() <= tol, (k, pa, np.abs(a - b).max())
+
+
+def test_grad_accumulation_trains_and_raw_path(mesh8, rng):
+    """Trainer-level accumulation: the pre-embedded step trains down and
+    the raw encoder-in-step path (encoders run per micro-batch) produces
+    the same loss as accum=1."""
+    import dataclasses
+
+    from mmd_tpu.models import text_encoder as te
+    from mmd_tpu.models import vit as V
+    from mmd_tpu.models.frozen import FrozenEncoders
+
+    cfg = dataclasses.replace(small_cfg(), accum_steps=4)
+    tr = Trainer(cfg, mesh8)
+    state = tr.init()
+    losses = []
+    for i in range(12):
+        state, aux = tr.train_step(state, tr.shard_batch(small_batch(rng)))
+        losses.append(float(np.asarray(aux["loss"])))
+    assert np.mean(losses[-3:]) < losses[0], losses
+
+    tcfg = dataclasses.replace(te.TINY_TEST, vocab_size=128, dropout=0.0)
+    vcfg = V.VIT_TEST
+    enc = FrozenEncoders(
+        tokenizer=None, text_cfg=tcfg,
+        text_params=te.init_text_encoder(jax.random.key(4), tcfg),
+        vit_cfg=vcfg, vit_params=V.init_vit(jax.random.key(5), vcfg))
+    model = ModelConfig(
+        text_input_dim=tcfg.hidden_size, image_input_dim=vcfg.hidden_size,
+        embed_dim=32, num_heads=4, hidden_dim=16, compute_dtype="float32",
+        dropout=0.0)
+    rr = np.random.default_rng(9)
+    B = 16
+    batch = {
+        "claim_ids": rr.integers(1, 100, (B, 16)).astype(np.int32),
+        "claim_mask": np.ones((B, 16), np.int32),
+        "doc_ids": rr.integers(1, 100, (B, 16)).astype(np.int32),
+        "doc_mask": np.ones((B, 16), np.int32),
+        "claim_image": rr.integers(0, 255, (B, 32, 32, 3)).astype(np.uint8),
+        "doc_image": rr.integers(0, 255, (B, 32, 32, 3)).astype(np.uint8),
+        "labels": np.stack([np.array([0, 1, 2, 1], np.int32)] * B),
+    }
+
+    def run(accum):
+        c = TrainConfig(model=model, batch_size=B, accum_steps=accum,
+                        data=DataConfig(text_seq_len=16, image_seq_len=16))
+        t = Trainer(c, mesh8, encoders=enc)
+        _, aux = t.train_step(t.init(seed=0), t.shard_batch(batch))
+        return float(np.asarray(aux["loss"]))
+
+    np.testing.assert_allclose(run(2), run(1), rtol=2e-6)
