@@ -422,13 +422,106 @@ def _disentangled_attention_sp(p, cfg: DebertaConfig, x_loc, rel_emb,
     return L.linear(p["attn_out"], ctx, dtype)
 
 
+def _disentangled_attention_ring(p, cfg: DebertaConfig, x_loc, rel_emb,
+                                 c2p_map, p2c_map, key_mask_full, dtype,
+                                 axis: str, t_full: int, sp: int, rank):
+    """Ring variant of _disentangled_attention_sp: K/V blocks rotate
+    around the ICI ring via lax.ppermute under a flash-style online
+    softmax, so peak memory is ONE (B, h, T/sp, dh) block. The content
+    q @ pos_k term is precomputed once for the local rows; the per-block
+    positional selections (c2p columns, the p2c term from the arriving
+    K block) regenerate from iotas offset by the block's absolute origin
+    (rank - step) mod sp. Same math as the unsplit attention up to fp
+    reassociation."""
+    h = cfg.num_heads
+    dh = cfg.hidden_size // h
+    tl = x_loc.shape[1]
+    t = t_full
+    scale = math.sqrt(dh * 3.0)
+    b = x_loc.shape[0]
+
+    q = _heads(L.linear(p["q"], x_loc, dtype), h)          # (B, h, tl, dh)
+    kh = _heads(L.linear(p["k"], x_loc, dtype), h)
+    vh = _heads(L.linear(p["v"], x_loc, dtype), h)
+
+    pos_k = _heads(L.linear(p["k"], rel_emb[None], dtype), h)[0]
+    pos_q = _heads(L.linear(p["q"], rel_emb[None], dtype), h)[0]
+    pos_k_d = jnp.take(pos_k, jnp.asarray(c2p_map), axis=1)   # (h, 2T-1, dh)
+    pos_q_d = jnp.take(pos_q, jnp.asarray(p2c_map), axis=1)
+
+    # local-row content->position term, once (B, h, tl, 2T-1)
+    c2p = jnp.einsum("bhtd,hjd->bhtj", q, pos_k_d,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    q_off = rank * tl                                      # absolute q rows
+
+    m = jnp.full((b, h, tl, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, h, tl, 1), jnp.float32)
+    o = jnp.zeros((b, h, tl, dh), jnp.float32)
+    perm = [(s, (s + 1) % sp) for s in range(sp)]
+    for step in range(sp):
+        src = (rank - step) % sp
+        s_off = src * tl                                   # block's abs keys
+        s_blk = jnp.einsum("bhtd,bhsd->bhts", q, kh,
+                           preferred_element_type=jnp.float32)
+
+        # c2p columns for this block: onehot[t',j,s] = (j == T-1-(t'+qo)+(s+so))
+        tprime = (jax.lax.broadcasted_iota(jnp.int32, (tl, 2 * t - 1, tl), 0)
+                  + q_off)
+        jq = jax.lax.broadcasted_iota(jnp.int32, (tl, 2 * t - 1, tl), 1)
+        ss = (jax.lax.broadcasted_iota(jnp.int32, (tl, 2 * t - 1, tl), 2)
+              + s_off)
+        oh_c2p = (jq == (t - 1) - tprime + ss).astype(dtype)
+        s_blk = s_blk + jnp.einsum("bhtj,tjs->bhts", c2p, oh_c2p,
+                                   preferred_element_type=jnp.float32)
+
+        # p2c from the ARRIVING K block: rows are its abs key positions
+        p2c = jnp.einsum("bhsd,hjd->bhsj", kh, pos_q_d,
+                         preferred_element_type=jnp.float32).astype(dtype)
+        srow = (jax.lax.broadcasted_iota(jnp.int32, (tl, 2 * t - 1, tl), 0)
+                + s_off)
+        jq2 = jax.lax.broadcasted_iota(jnp.int32, (tl, 2 * t - 1, tl), 1)
+        tcol = (jax.lax.broadcasted_iota(jnp.int32, (tl, 2 * t - 1, tl), 2)
+                + q_off)
+        oh_p2c = (jq2 == (t - 1) - srow + tcol).astype(dtype)
+        p2c_sel = jnp.einsum("bhtj,tjs->bhts", p2c, oh_p2c,
+                             preferred_element_type=jnp.float32)
+        s_blk = (s_blk + jnp.swapaxes(p2c_sel, -1, -2)) / scale
+
+        if key_mask_full is not None:
+            km_blk = jax.lax.dynamic_slice_in_dim(key_mask_full, s_off, tl,
+                                                  axis=1)
+            neg = jnp.finfo(jnp.float32).min
+            s_blk = jnp.where(km_blk[:, None, None, :].astype(bool),
+                              s_blk, neg)
+        m_new = jnp.maximum(m, jnp.max(s_blk, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        pw = jnp.exp(s_blk - m_new)
+        l = l * corr + jnp.sum(pw, axis=-1, keepdims=True)
+        o = o * corr + jnp.einsum("bhts,bhsd->bhtd", pw.astype(vh.dtype),
+                                  vh, preferred_element_type=jnp.float32)
+        m = m_new
+        if step < sp - 1:
+            kh = jax.lax.ppermute(kh, axis, perm)
+            vh = jax.lax.ppermute(vh, axis, perm)
+    ctx = (o / l).astype(dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tl, cfg.hidden_size)
+    return L.linear(p["attn_out"], ctx, dtype)
+
+
 def deberta_layer_sp(p: dict, cfg: DebertaConfig, x_loc, rel_emb, c2p_map,
                      p2c_map, key_mask_full, dtype, axis: str, t_full: int,
-                     row_offset):
-    """deberta_layer with sequence-parallel attention; LN/FFN per-token."""
-    a = _disentangled_attention_sp(p, cfg, x_loc, rel_emb, c2p_map,
-                                   p2c_map, key_mask_full, dtype, axis,
-                                   t_full, row_offset)
+                     row_offset, sp: int = 0, rank=None, ring: bool = False):
+    """deberta_layer with sequence-parallel attention; LN/FFN per-token.
+    ring=True rotates K/V blocks via ppermute under an online softmax
+    (_disentangled_attention_ring) instead of the per-layer all-gather."""
+    if ring:
+        a = _disentangled_attention_ring(p, cfg, x_loc, rel_emb, c2p_map,
+                                         p2c_map, key_mask_full, dtype,
+                                         axis, t_full, sp, rank)
+    else:
+        a = _disentangled_attention_sp(p, cfg, x_loc, rel_emb, c2p_map,
+                                       p2c_map, key_mask_full, dtype, axis,
+                                       t_full, row_offset)
     x = L.layernorm(p["ln1"], x_loc + a, cfg.layer_norm_eps)
     hdn = jax.nn.gelu(L.linear(p["ffn_in"], x, dtype),
                       approximate=(dtype == jnp.bfloat16))

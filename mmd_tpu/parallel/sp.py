@@ -214,9 +214,13 @@ def sequence_parallel_encode_deberta(
     *,
     mesh: Mesh,
     axis: str = MODEL_AXIS,
+    ring: bool = False,
 ) -> jax.Array:
     """last_hidden_state (B, T, D) == deberta.deberta_encode, with the
-    activations sequence-sharded over `axis`.
+    activations sequence-sharded over `axis`. ring=True rotates K/V
+    blocks via ppermute under an online softmax (per-block positional
+    selections regenerated from the block's absolute origin) instead of
+    the per-layer all-gather.
 
     DeBERTa's disentangled attention joins the scheme the same way: local
     Q rows against all-gathered K/V, with the diagonal one-hot selections
@@ -238,11 +242,12 @@ def sequence_parallel_encode_deberta(
 
     def body(layers_p, x_loc, rel_emb_, *rest):
         km_full = rest[0] if km is not None else None
-        off = jax.lax.axis_index(axis) * tl
+        rank = jax.lax.axis_index(axis)
         h = x_loc
         for p in layers_p:
             h = D.deberta_layer_sp(p, cfg, h, rel_emb_, c2p_map, p2c_map,
-                                   km_full, dtype, axis, t, off)
+                                   km_full, dtype, axis, t, rank * tl,
+                                   sp=sp, rank=rank, ring=ring)
         return h
 
     repl = P()

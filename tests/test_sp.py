@@ -130,6 +130,25 @@ def test_sp_encode_deberta_matches_unsplit(rng, sp):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("sp", [2, 4])
+def test_sp_ring_deberta_matches_unsplit(rng, sp):
+    """Ring-rotated K/V + per-block positional selections == the unsplit
+    disentangled attention (up to fp reassociation)."""
+    from mmd_tpu.models import deberta as D
+    from mmd_tpu.parallel.sp import sequence_parallel_encode_deberta
+
+    cfg = dataclasses.replace(D.DEBERTA_TEST, compute_dtype="float32")
+    params = D.init_deberta(jax.random.key(8), cfg)
+    ids, mask = _inputs(rng)
+    mesh = make_mesh(jax.devices(), model_parallel=sp)
+    for m in (mask, None):
+        want = np.asarray(D.deberta_encode(params, cfg, ids, m))
+        got = np.asarray(jax.jit(
+            lambda p, i, a: sequence_parallel_encode_deberta(
+                p, cfg, i, a, mesh=mesh, ring=True))(params, ids, m))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_sp_encode_deberta_no_mask(rng):
     from mmd_tpu.models import deberta as D
     from mmd_tpu.parallel.sp import sequence_parallel_encode_deberta
