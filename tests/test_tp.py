@@ -404,3 +404,25 @@ def test_zero3_excludes_other_strategies(mesh8):
     import pytest as _pt
     with _pt.raises(ValueError, match="exclusive"):
         Trainer(_cfg(), mesh8, zero3=True, zero1=True)
+
+
+def test_accum_composes_with_zero3_and_tp(mesh8, mesh_tp, rng):
+    """Gradient accumulation (accum_steps=2) composes with ZeRO-3/FSDP and
+    with tensor parallelism: one-step losses equal the accum=1 variant of
+    the same strategy (dropout off so micro-rng folding is irrelevant)."""
+    import dataclasses
+
+    batch = synthetic_preembed_batch(rng, 16, text_seq=8, image_seq=4,
+                                     text_dim=16, image_dim=24)
+
+    def one(mesh, accum, **tkw):
+        cfg = dataclasses.replace(_cfg(dropout=0.0), accum_steps=accum)
+        tr = Trainer(cfg, mesh, **tkw)
+        _, aux = tr.train_step(tr.init(seed=0), tr.shard_batch(batch))
+        return float(np.asarray(aux["loss"]))
+
+    np.testing.assert_allclose(one(mesh8, 2, zero3=True),
+                               one(mesh8, 1, zero3=True), rtol=2e-6)
+    np.testing.assert_allclose(one(mesh_tp, 2, tensor_parallel=True),
+                               one(mesh_tp, 1, tensor_parallel=True),
+                               rtol=2e-6)
