@@ -360,6 +360,11 @@ class Trainer:
         self._state_shardings = None
         if self.zero3 and (self.zero1 or self.tensor_parallel):
             raise ValueError("zero3 is exclusive with zero1/tensor_parallel")
+        if (self.cfg.accum_steps > 1
+                and self.cfg.batch_size % self.cfg.accum_steps != 0):
+            raise ValueError(
+                f"batch_size={self.cfg.batch_size} must divide by "
+                f"accum_steps={self.cfg.accum_steps}")
         if self.tensor_parallel or self.zero1 or self.zero3:
             from mmd_tpu.parallel import tp as TP
 

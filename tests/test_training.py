@@ -221,3 +221,9 @@ def test_grad_accumulation_trains_and_raw_path(mesh8, rng):
         return float(np.asarray(aux["loss"]))
 
     np.testing.assert_allclose(run(2), run(1), rtol=2e-6)
+
+
+def test_accum_steps_validates_divisibility(mesh8):
+    import dataclasses
+    with pytest.raises(ValueError, match="accum_steps"):
+        Trainer(dataclasses.replace(small_cfg(), accum_steps=3), mesh8)
