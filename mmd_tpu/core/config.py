@@ -166,6 +166,9 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="ZeRO-1: shard AdamW moments over the data axis")
     p.add_argument("--accum_steps", type=int, default=d.accum_steps,
                    help="micro-batches per step (gradient accumulation)")
+    p.add_argument("--finetune_encoders", action="store_true",
+                   help="end-to-end fine-tuning: encoder params join the "
+                        "trainable state (raw path only)")
     p.add_argument("--zero3", action="store_true",
                    help="ZeRO-3/FSDP: shard params AND moments over the "
                         "data axis (1/n per rank; gather-on-use)")

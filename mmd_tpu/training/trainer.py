@@ -240,6 +240,77 @@ def make_encoding_raw_step(cfg: TrainConfig, enc,
     return step_fn
 
 
+def init_finetune_state(cfg: TrainConfig, enc, key: jax.Array) -> TrainState:
+    """Joint state: fusion params + the (no longer frozen) encoder params
+    under one optimizer. The encoder trees are COPIED — the compiled step
+    donates its input state, and aliasing enc.*_params into it would let
+    the first step delete the caller's buffers."""
+    k_params, k_train = jax.random.split(key)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+    params = {"fusion": init_fusion_params(k_params, cfg.model),
+              "text": copy(enc.text_params), "vit": copy(enc.vit_params)}
+    optimizer = make_optimizer(cfg)
+    return TrainState(jnp.zeros((), jnp.int32), params,
+                      optimizer.init(params), k_train)
+
+
+def make_finetune_raw_step(cfg: TrainConfig, enc,
+                           optimizer: Optional[optax.GradientTransformation] = None,
+                           tp_mesh=None):
+    """End-to-end fine-tuning step: the text/image encoders run inside
+    the step WITHOUT stop_gradient and their params live in state.params
+    next to the fusion model's — one AdamW over the joint tree. The
+    reference can only freeze its encoders (train.py:47 loads them
+    frozen); this is framework capability beyond it. Composes with
+    gradient accumulation (cfg.accum_steps) and, via the shape-generic
+    spec rules, with ZeRO-1/ZeRO-3 sharding of the joint state."""
+    from mmd_tpu.models.frozen import image_encode, text_encode
+    from mmd_tpu.ops.image_ops import TRAIN_TRANSFORM, normalize_on_device
+
+    optimizer = optimizer or make_optimizer(cfg)
+    mcfg = cfg.model
+    dtype = jnp.dtype(mcfg.compute_dtype)
+    accum = max(1, cfg.accum_steps)
+
+    def joint_loss(params, batch, rng, deterministic=False):
+        emb = {
+            "claim_text_embeds": text_encode(
+                params["text"], enc.text_cfg,
+                batch["claim_ids"], batch["claim_mask"]),
+            "doc_text_embeds": text_encode(
+                params["text"], enc.text_cfg,
+                batch["doc_ids"], batch["doc_mask"]),
+            "claim_image_embeds": image_encode(
+                params["vit"], enc.vit_cfg,
+                normalize_on_device(batch["claim_image"], TRAIN_TRANSFORM,
+                                    dtype)),
+            "doc_image_embeds": image_encode(
+                params["vit"], enc.vit_cfg,
+                normalize_on_device(batch["doc_image"], TRAIN_TRANSFORM,
+                                    dtype)),
+            "labels": batch["labels"],
+        }
+        return _loss_fn(params["fusion"], mcfg, emb, rng,
+                        deterministic=deterministic, tp_mesh=tp_mesh)
+
+    def step_fn(state: TrainState, batch: dict):
+        rng = jax.random.fold_in(state.rng, state.step)
+        grad_fn = lambda p, mb, r: jax.value_and_grad(
+            joint_loss, has_aux=True)(p, mb, r)
+        if accum > 1:
+            grads, aux = _accum_grads(grad_fn, state.params, batch, rng,
+                                      accum)
+        else:
+            (_, aux), grads = grad_fn(state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state, state.rng), aux
+
+    step_fn.joint_loss = joint_loss
+    return step_fn
+
+
 def make_encoding_train_step(cfg: TrainConfig, mesh: Mesh, enc,
                              optimizer: Optional[optax.GradientTransformation] = None,
                              state_shardings=None, tp_mesh=None):
@@ -355,6 +426,11 @@ class Trainer:
     # with zero1/tensor_parallel — it subsumes ZeRO-1 and targets the
     # pure-DP mesh.
     zero3: bool = False
+    # End-to-end fine-tuning: encoder params join the trainable state
+    # (raw batches required; make_finetune_raw_step). Composes with
+    # zero1/zero3 via the shape-generic spec rules; not with TP (the TP
+    # name rules cover the fusion tree only).
+    finetune: bool = False
 
     def __post_init__(self):
         self._state_shardings = None
@@ -365,6 +441,13 @@ class Trainer:
             raise ValueError(
                 f"batch_size={self.cfg.batch_size} must divide by "
                 f"accum_steps={self.cfg.accum_steps}")
+        if self.finetune:
+            if self.encoders is None:
+                raise ValueError("finetune=True requires encoders")
+            if self.tensor_parallel:
+                raise ValueError(
+                    "finetune composes with zero1/zero3, not TP (the TP "
+                    "name rules cover the fusion tree only)")
         if self.tensor_parallel or self.zero1 or self.zero3:
             from mmd_tpu.parallel import tp as TP
 
@@ -377,8 +460,13 @@ class Trainer:
                     self.cfg,
                     model=dataclasses.replace(self.cfg.model,
                                               tensor_parallel=True))
-            state_shape = jax.eval_shape(
-                lambda: init_state(self.cfg, jax.random.key(0)))
+            if self.finetune:
+                state_shape = jax.eval_shape(
+                    lambda: init_finetune_state(self.cfg, self.encoders,
+                                                jax.random.key(0)))
+            else:
+                state_shape = jax.eval_shape(
+                    lambda: init_state(self.cfg, jax.random.key(0)))
             if self.tensor_parallel and self.zero1:
                 specs = TP.tp_zero1_specs(state_shape,
                                           self.mesh.shape["data"])
@@ -396,7 +484,21 @@ class Trainer:
         self.optimizer = make_optimizer(self.cfg)
         repl = NamedSharding(self.mesh, P())
         tp_mesh = self.mesh if self.tensor_parallel else None
-        if self.encoders is not None:
+        if self.finetune:
+            ft_step = make_finetune_raw_step(self.cfg, self.encoders,
+                                             self.optimizer)
+            state_sh = self._state_shardings or repl
+            data = NamedSharding(self.mesh, P("data"))
+            self.train_step = jax.jit(ft_step, in_shardings=(state_sh, data),
+                                      out_shardings=(state_sh, None),
+                                      donate_argnums=(0,))
+            joint_loss = ft_step.joint_loss
+            param_sh = (state_sh.params
+                        if self._state_shardings is not None else repl)
+            self.eval_step = jax.jit(
+                lambda p, b: joint_loss(p, b, None, deterministic=True)[1],
+                in_shardings=(param_sh, data), out_shardings=None)
+        elif self.encoders is not None:
             enc_step = make_encoding_train_step(
                 self.cfg, self.mesh, self.encoders, self.optimizer,
                 self._state_shardings, tp_mesh=tp_mesh)
@@ -420,16 +522,18 @@ class Trainer:
                 self.train_window = make_multi_step(
                     self.cfg, self.mesh, self.cfg.steps_per_call,
                     self.optimizer, self._state_shardings, tp_mesh=tp_mesh)
-        self.eval_step = make_eval_step(
-            self.cfg, self.mesh,
-            None if self._state_shardings is None
-            else self._state_shardings.params,
-            tp_mesh=tp_mesh)
+        if not self.finetune:
+            self.eval_step = make_eval_step(
+                self.cfg, self.mesh,
+                None if self._state_shardings is None
+                else self._state_shardings.params,
+                tp_mesh=tp_mesh)
 
     def init(self, seed: Optional[int] = None) -> TrainState:
         key = jax.random.key(self.cfg.seed if seed is None else seed)
         with jax.default_device(jax.devices()[0]):
-            state = init_state(self.cfg, key)
+            state = (init_finetune_state(self.cfg, self.encoders, key)
+                     if self.finetune else init_state(self.cfg, key))
         shardings = (self._state_shardings if self._state_shardings is not None
                      else NamedSharding(self.mesh, P()))
         return jax.device_put(state, shardings)

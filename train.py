@@ -101,7 +101,8 @@ def main():
         print(f"[train] {len(store)} raw samples (on-the-fly encoding)")
         trainer = Trainer(cfg, mesh, encoders=enc,
                           tensor_parallel=cfg.mesh.tensor_parallel,
-                          zero1=cfg.mesh.zero1, zero3=cfg.mesh.zero3)
+                          zero1=cfg.mesh.zero1, zero3=cfg.mesh.zero3,
+                          finetune=getattr(args, "finetune_encoders", False))
 
         def train_batches(epoch):
             return store.batches(cfg.batch_size, shuffle=cfg.data.shuffle,
