@@ -29,7 +29,7 @@ def main():
     p.add_argument("--embed_dim", type=int, default=256)
     p.add_argument("--num_heads", type=int, default=8)
     p.add_argument("--hidden_dim", type=int, default=64)
-    p.add_argument("--text_parallelism", choices=["tp", "pp", "sp"],
+    p.add_argument("--text_parallelism", choices=["tp", "pp", "sp", "sp_ring"],
                    default=None,
                    help="serve the frozen text encoder over all devices "
                         "(Megatron TP / GPipe PP / sequence parallel)")

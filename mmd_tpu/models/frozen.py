@@ -74,12 +74,13 @@ def text_encode_parallel(params: dict, cfg, input_ids, attention_mask=None,
             pipeline_encode, pipeline_encode_deberta)
         fn = pipeline_encode_deberta if is_deberta else pipeline_encode
         return fn(params, cfg, input_ids, attention_mask, mesh=mesh)
-    if mode == "sp":
+    if mode in ("sp", "sp_ring"):
         from mmd_tpu.parallel.sp import (
             sequence_parallel_encode, sequence_parallel_encode_deberta)
         fn = (sequence_parallel_encode_deberta if is_deberta
               else sequence_parallel_encode)
-        return fn(params, cfg, input_ids, attention_mask, mesh=mesh)
+        return fn(params, cfg, input_ids, attention_mask, mesh=mesh,
+                  ring=(mode == "sp_ring"))
     raise ValueError(f"unknown text parallelism mode: {mode!r}")
 
 

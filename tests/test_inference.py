@@ -86,7 +86,7 @@ def test_predictor_parallel_text_serving_matches_serial(tmp_path_factory):
     base = MisinformationPredictor(cfg, encoders=enc, batch_size=4,
                                    max_length=16)
     want = base._encode_texts(texts)
-    for mode in ("pp", "sp"):
+    for mode in ("pp", "sp", "sp_ring"):
         enc_m = load_or_init_frozen(assets, tiny=True)
         pred = MisinformationPredictor(cfg, encoders=enc_m, batch_size=4,
                                        max_length=16, mesh=mesh,
