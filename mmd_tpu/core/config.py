@@ -124,6 +124,20 @@ class TrainConfig:
     # — trades steps for activation memory; on the raw path the frozen
     # encoders run per-micro, so their activations never exist at full B
     accum_steps: int = 1
+    # Rematerialize the TRAINABLE encoder layers in the backward pass
+    # (jax.checkpoint per block) when fine-tuning end-to-end: peak
+    # activation memory drops from every block's intermediates to the
+    # block boundaries + one block's internals, for ~1 extra forward of
+    # FLOPs. Exact same gradients. No effect on the pre-embed/frozen
+    # paths (no gradients flow through the encoders there) or on the
+    # fusion model (its Pallas kernels already regenerate the big
+    # intermediates — dropout masks, MLP hidden — inside the backward).
+    remat: bool = False
+    # Device-input pipelining: while step i runs, the NEXT batch's
+    # host->device transfer is already in flight (training/loop.py
+    # prefetch_to_device). Depth 0 = current behavior (shard at use);
+    # depth k keeps k batches queued on device. Numerics-neutral.
+    prefetch_depth: int = 0
 
 
 def add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -174,6 +188,13 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                         "data axis (1/n per rank; gather-on-use)")
     p.add_argument("--compute_dtype", type=str, default=d.model.compute_dtype,
                    choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize trainable-encoder layers in the "
+                        "backward (jax.checkpoint; fine-tuning memory "
+                        "lever, exact grads)")
+    p.add_argument("--prefetch_depth", type=int, default=d.prefetch_depth,
+                   help="keep this many batches' host->device transfers "
+                        "in flight ahead of the step (0 = off)")
 
 
 def train_config_from_args(args: argparse.Namespace) -> TrainConfig:
@@ -212,6 +233,8 @@ def train_config_from_args(args: argparse.Namespace) -> TrainConfig:
         wandb_project=args.wandb_project, wandb_entity=args.wandb_entity,
         resume_from=args.resume_from,
         accum_steps=getattr(args, "accum_steps", 1),
+        remat=getattr(args, "remat", False),
+        prefetch_depth=getattr(args, "prefetch_depth", 0),
     )
 
 

@@ -42,6 +42,10 @@ class DebertaConfig:
     fused_attn: bool = True          # Pallas disentangled-attention kernel
                                      # on TPU (strided-roll selection);
                                      # jnp one-hot path elsewhere
+    remat: bool = False              # jax.checkpoint each layer: keep only
+                                     # (B, T, D) block boundaries across the
+                                     # backward (fine-tuning memory lever;
+                                     # exact same grads, ~1 extra forward)
 
     @property
     def pos_ebd_size(self) -> int:
@@ -581,9 +585,15 @@ def deberta_encode(params: dict, cfg: DebertaConfig, input_ids: jax.Array,
     c2p_map, p2c_map = _diag_maps(t, cfg)
     x, rel_emb = deberta_embed(params, cfg, input_ids, attention_mask)
     fused = use_fused_attn(cfg, t)
+
+    def layer_fn(p, x, rel_emb, attention_mask):
+        return deberta_layer(p, cfg, x, rel_emb, c2p_map, p2c_map,
+                             attention_mask, dtype, fused)
+
+    if cfg.remat:
+        layer_fn = jax.checkpoint(layer_fn)
     for p in params["layers"]:
-        x = deberta_layer(p, cfg, x, rel_emb, c2p_map, p2c_map,
-                          attention_mask, dtype, fused)
+        x = layer_fn(p, x, rel_emb, attention_mask)
     return x
 
 

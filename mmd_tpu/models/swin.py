@@ -71,6 +71,11 @@ class SwinConfig:
     # path; engages per block when the geometry qualifies (dh >= 32,
     # 128 % dh == 0, 64-token windows).
     fused_attn: bool = False
+    # jax.checkpoint each block across the backward (fine-tuning memory
+    # lever: only stage activations stay resident; the window partitions,
+    # cosine-attention intermediates, and 4x-MLP hidden recompute per
+    # block). Exact same grads, ~1 extra forward.
+    remat: bool = False
 
     def __post_init__(self):
         self.depths = tuple(self.depths)
@@ -397,9 +402,12 @@ def swin_forward(params: dict, cfg: SwinConfig, images: jax.Array) -> jax.Array:
         stage = params["stages"][s]
         for i, bp in enumerate(stage["blocks"]):
             window, shift = cfg.stage_window_shift(s, i)
-            x = _block(bp, x, res, cfg.num_heads[s], window, shift,
-                       cfg.pretrained_window_sizes[s], eps, dtype,
-                       fused=cfg.fused_attn)
+            blk = lambda bp, x, w=window, sh=shift, r=res, h=cfg.num_heads[s], \
+                    pw=cfg.pretrained_window_sizes[s]: _block(
+                bp, x, r, h, w, sh, pw, eps, dtype, fused=cfg.fused_attn)
+            if cfg.remat:
+                blk = jax.checkpoint(blk)
+            x = blk(bp, x)
         if "downsample" in stage:
             x = _patch_merge(stage["downsample"], x, res, eps, dtype)
     return L.layernorm(params["ln_final"], x, eps)

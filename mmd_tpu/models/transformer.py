@@ -43,6 +43,15 @@ class TransformerConfig:
     relative_bias_buckets: int = 0
     mpnet_positions: bool = False
     pad_token_id: int = 0
+    # Rematerialize each encoder block in the backward pass
+    # (jax.checkpoint): only the (B, T, D) block boundaries stay resident
+    # between forward and backward; the intra-block activations (FFN
+    # hidden at 4x D, attention intermediates) are recomputed per block —
+    # ~1 extra forward of FLOPs for an O(intermediate/hidden) cut in peak
+    # activation memory. Matters only when gradients flow through the
+    # stack (end-to-end fine-tuning, Trainer(finetune=True, remat=True));
+    # frozen serving stores no activations either way.
+    remat: bool = False
 
     @property
     def enc_dim(self) -> int:
@@ -289,7 +298,12 @@ def transformer_forward(
         # (B,1,T,T)); layers with a bias always take the jnp masked path
         bias = mpnet_position_bias(params, cfg, t)
         mask = bias if mask is None else mask + bias
+    def apply_layer(p, x, mask, key_mask, encoder_states, encoder_mask):
+        return encoder_layer(p, cfg, x, mask, encoder_states, None,
+                             key_mask=key_mask, cross_key_mask=encoder_mask)[0]
+
+    if cfg.remat:
+        apply_layer = jax.checkpoint(apply_layer)
     for p in params["layers"]:
-        x, _ = encoder_layer(p, cfg, x, mask, encoder_states, None,
-                             key_mask=key_mask, cross_key_mask=encoder_mask)
+        x = apply_layer(p, x, mask, key_mask, encoder_states, encoder_mask)
     return x

@@ -42,6 +42,8 @@ class ViTConfig:
     keep_cls: bool = False         # keep CLS in the OUTPUT sequence (BLIP's
                                    # decoder cross-attends over all vision
                                    # tokens including CLS)
+    remat: bool = False            # jax.checkpoint each block (fine-tuning
+                                   # memory lever; exact grads, ~1 extra fwd)
 
     @property
     def num_tokens(self) -> int:
@@ -102,8 +104,11 @@ def vit_forward(params: dict, cfg: ViTConfig, images: jax.Array) -> jax.Array:
     x = x + params["pos_embed"].astype(dtype)[None]
     if cfg.embed_ln:
         x = L.layernorm(params["ln_pre"], x, cfg.layer_norm_eps)
+    layer_fn = lambda p, x: encoder_layer(p, block, x)[0]
+    if cfg.remat:
+        layer_fn = jax.checkpoint(layer_fn)
     for p in params["layers"]:
-        x, _ = encoder_layer(p, block, x)
+        x = layer_fn(p, x)
     x = L.layernorm(params["ln_post"], x, cfg.layer_norm_eps)
     return x[:, 1:] if (cfg.use_cls and not cfg.keep_cls) else x
 

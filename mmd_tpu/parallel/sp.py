@@ -32,7 +32,16 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from mmd_tpu.core.mesh import MODEL_AXIS
+from mmd_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _batch_axis(mesh: Mesh, b: int):
+    """Shard the batch over the mesh's data axis when it divides evenly —
+    this makes the shard_map full-mesh SPMD, so SP composes with DP (each
+    data rank runs the sequence-parallel schedule on its local batch
+    rows). Falls back to batch-replicated for ragged/serving batches."""
+    d = mesh.shape.get(DATA_AXIS, 1)
+    return DATA_AXIS if (d > 1 and b % d == 0) else None
 from mmd_tpu.models import layers as L
 from mmd_tpu.ops.attention import multi_head_attention
 

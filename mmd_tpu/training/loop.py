@@ -20,6 +20,31 @@ from mmd_tpu.training import metrics as M
 from mmd_tpu.training.trainer import Trainer, TrainState
 
 
+def prefetch_to_device(batches: Iterable[dict], shard_fn: Callable,
+                       depth: int) -> Iterable[dict]:
+    """Keep `depth` sharded batches in flight ahead of consumption.
+
+    `jax.device_put` (inside shard_fn) is asynchronous, so issuing the
+    next batches' host->device transfers before the current step is
+    consumed lets the DMA overlap the running computation instead of
+    serializing after it — the standard TPU input pipeline shape
+    (double buffering at depth 1-2). Numerics-neutral: batches come out
+    in order, merely already resident on device."""
+    from collections import deque
+
+    if depth <= 0:
+        for b in batches:
+            yield shard_fn(b)
+        return
+    queue: deque = deque()
+    for b in batches:
+        queue.append(shard_fn(b))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def _accumulate(acc: dict, aux: dict) -> None:
     # Keep device arrays; D2H happens once per flush window, not per step
     # (host pulls are expensive on tunneled devices and serialize the stream).
@@ -110,8 +135,14 @@ def run_training(
         return auxw["loss"][-1]
 
     for epoch in range(cfg.epochs):
-        for batch in train_batches(epoch):
-            batch = {k: v for k, v in batch.items() if not k.startswith("_")}
+        stream = ({k: v for k, v in b.items() if not k.startswith("_")}
+                  for b in train_batches(epoch))
+        presharded = (window is None
+                      and getattr(cfg, "prefetch_depth", 0) > 0)
+        if presharded:
+            stream = prefetch_to_device(stream, trainer.shard_batch,
+                                        cfg.prefetch_depth)
+        for batch in stream:
             if window is not None:
                 pending.append(batch)
                 if len(pending) < wsize:
@@ -119,7 +150,8 @@ def run_training(
                 loss = flush_window()
                 aux = {"loss": loss, "labels": np.zeros((0,))}
             else:
-                batch = trainer.shard_batch(batch)
+                if not presharded:
+                    batch = trainer.shard_batch(batch)
                 state, aux = trainer.train_step(state, batch)
                 global_step += 1
                 samples += aux["labels"].shape[0]

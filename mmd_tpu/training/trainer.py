@@ -264,6 +264,8 @@ def make_finetune_raw_step(cfg: TrainConfig, enc,
     frozen); this is framework capability beyond it. Composes with
     gradient accumulation (cfg.accum_steps) and, via the shape-generic
     spec rules, with ZeRO-1/ZeRO-3 sharding of the joint state."""
+    import dataclasses as _dc
+
     from mmd_tpu.models.frozen import image_encode, text_encode
     from mmd_tpu.ops.image_ops import TRAIN_TRANSFORM, normalize_on_device
 
@@ -271,21 +273,28 @@ def make_finetune_raw_step(cfg: TrainConfig, enc,
     mcfg = cfg.model
     dtype = jnp.dtype(mcfg.compute_dtype)
     accum = max(1, cfg.accum_steps)
+    # cfg.remat: the now-trainable encoder stacks carry the activation
+    # memory; per-block jax.checkpoint keeps only block boundaries
+    # resident across the backward (exact grads, ~1 extra forward)
+    text_cfg = (_dc.replace(enc.text_cfg, remat=True) if cfg.remat
+                else enc.text_cfg)
+    vit_cfg = (_dc.replace(enc.vit_cfg, remat=True) if cfg.remat
+               else enc.vit_cfg)
 
     def joint_loss(params, batch, rng, deterministic=False):
         emb = {
             "claim_text_embeds": text_encode(
-                params["text"], enc.text_cfg,
+                params["text"], text_cfg,
                 batch["claim_ids"], batch["claim_mask"]),
             "doc_text_embeds": text_encode(
-                params["text"], enc.text_cfg,
+                params["text"], text_cfg,
                 batch["doc_ids"], batch["doc_mask"]),
             "claim_image_embeds": image_encode(
-                params["vit"], enc.vit_cfg,
+                params["vit"], vit_cfg,
                 normalize_on_device(batch["claim_image"], TRAIN_TRANSFORM,
                                     dtype)),
             "doc_image_embeds": image_encode(
-                params["vit"], enc.vit_cfg,
+                params["vit"], vit_cfg,
                 normalize_on_device(batch["doc_image"], TRAIN_TRANSFORM,
                                     dtype)),
             "labels": batch["labels"],

@@ -36,6 +36,9 @@ TMO=2400 run merged_ab   python benchmarks/bench_merged_ab.py
 TMO=1800 run tp_ab       python benchmarks/bench_tp_ab.py
 TMO=1200 run train_drive python train.py --synthetic_samples 512 --epochs 2 \
     --log_every 4 --output_dir "$LOGDIR/train_run"
+# same drive with device-input pipelining: compare samples/s vs train_drive
+TMO=1200 run train_prefetch python train.py --synthetic_samples 512 --epochs 2 \
+    --log_every 4 --prefetch_depth 2 --output_dir "$LOGDIR/train_prefetch"
 TMO=5400 run pipeline    python -m mmd_tpu.pipelines.run_all \
     --synthetic 35000 --image_size 256 --reference_encoders \
     --timings_json benchmarks/pipeline_timings.json \
