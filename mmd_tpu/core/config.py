@@ -183,6 +183,11 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--finetune_encoders", action="store_true",
                    help="end-to-end fine-tuning: encoder params join the "
                         "trainable state (raw path only)")
+    p.add_argument("--text_parallelism", choices=["sp", "sp_ring", "pp"],
+                   default=None,
+                   help="with --finetune_encoders and --model_parallel>=2: "
+                        "run the text-encoder fwd+bwd sequence- or "
+                        "pipeline-parallel over the mesh model axis")
     p.add_argument("--zero3", action="store_true",
                    help="ZeRO-3/FSDP: shard params AND moments over the "
                         "data axis (1/n per rank; gather-on-use)")

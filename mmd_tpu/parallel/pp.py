@@ -87,6 +87,16 @@ def _stack_layers(layers):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
+def _pp_batch_axis(mesh: Mesh, bm: int):
+    """Shard the within-microbatch batch dim over the data axis when it
+    divides evenly — full-mesh SPMD, so PP composes with DP (each data
+    rank pipelines its local rows). Replicated otherwise."""
+    from mmd_tpu.core.mesh import DATA_AXIS
+
+    d = mesh.shape.get(DATA_AXIS, 1)
+    return DATA_AXIS if (d > 1 and bm % d == 0) else None
+
+
 def pipeline_encode(
     params: dict,
     cfg,
@@ -133,14 +143,18 @@ def pipeline_encode(
             def f(carry, lp):
                 y, _ = encoder_layer(lp, cfg, carry, mask, key_mask=kmask)
                 return y, None
+            if getattr(cfg, "remat", False):
+                f = jax.checkpoint(f)          # scan-remat per layer
             return jax.lax.scan(f, h, stk)[0]
         return stage
 
     repl = P()
-    in_specs = [jax.tree_util.tree_map(lambda _: P(axis), stacked), repl]
+    ba = _pp_batch_axis(mesh, bm)
+    mb_spec = P(None, ba)
+    in_specs = [jax.tree_util.tree_map(lambda _: P(axis), stacked), mb_spec]
     args = [stacked, x_mb]
     if km_mb is not None:
-        in_specs.append(repl)
+        in_specs.append(mb_spec)
         args.append(km_mb)
     if bias is not None:
         in_specs.append(repl)
@@ -154,7 +168,7 @@ def pipeline_encode(
                                axis, pp, m)
 
     out = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
-                        out_specs=repl, check_vma=False)(*args)
+                        out_specs=mb_spec, check_vma=False)(*args)
     return out.reshape(b, *out.shape[2:])
 
 
@@ -200,15 +214,19 @@ def pipeline_encode_deberta(
                 y = D.deberta_layer(lp, cfg, carry, rel_emb, c2p_map,
                                     p2c_map, km, dtype, fused)
                 return y, None
+            if getattr(cfg, "remat", False):
+                f = jax.checkpoint(f)          # scan-remat per layer
             return jax.lax.scan(f, h, stk)[0]
         return stage
 
     repl = P()
-    in_specs = [jax.tree_util.tree_map(lambda _: P(axis), stacked), repl,
+    ba = _pp_batch_axis(mesh, bm)
+    mb_spec = P(None, ba)
+    in_specs = [jax.tree_util.tree_map(lambda _: P(axis), stacked), mb_spec,
                 repl]
     args = [stacked, x_mb, rel_emb]
     if km_mb is not None:
-        in_specs.append(repl)
+        in_specs.append(mb_spec)
         args.append(km_mb)
 
     def body(stk, x_mb, rel_emb_, km_mb_=None):
@@ -216,5 +234,5 @@ def pipeline_encode_deberta(
                                axis, pp, m)
 
     out = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
-                        out_specs=repl, check_vma=False)(*args)
+                        out_specs=mb_spec, check_vma=False)(*args)
     return out.reshape(b, *out.shape[2:])

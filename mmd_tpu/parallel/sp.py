@@ -195,18 +195,21 @@ def sequence_parallel_encode(
                                                     axis=2)
             if km_full is not None:
                 mask_loc = mask_loc + (1.0 - km_full[:, None, None, :]) * -1e9
+        lf = (jax.checkpoint(layer) if getattr(cfg, "remat", False)
+              else layer)
         h = x_loc
         for p in layers_p:
-            h = layer(p, h, km_full, mask_loc, i)
+            h = lf(p, h, km_full, mask_loc, i)
         return h
 
     repl = P()
-    seq_sharded = P(None, axis)
+    ba = _batch_axis(mesh, input_ids.shape[0])
+    seq_sharded = P(ba, axis)
     layers_specs = jax.tree_util.tree_map(lambda _: repl, params["layers"])
     in_specs = [layers_specs, seq_sharded]
     args = [params["layers"], x]
     if km is not None:
-        in_specs.append(repl)
+        in_specs.append(P(ba))
         args.append(km)
     if bias is not None:
         in_specs.append(repl)
@@ -252,20 +255,27 @@ def sequence_parallel_encode_deberta(
     def body(layers_p, x_loc, rel_emb_, *rest):
         km_full = rest[0] if km is not None else None
         rank = jax.lax.axis_index(axis)
+
+        def lf(p, h, rel_emb_, km_full, rank):
+            return D.deberta_layer_sp(p, cfg, h, rel_emb_, c2p_map, p2c_map,
+                                      km_full, dtype, axis, t, rank * tl,
+                                      sp=sp, rank=rank, ring=ring)
+
+        if getattr(cfg, "remat", False):
+            lf = jax.checkpoint(lf)
         h = x_loc
         for p in layers_p:
-            h = D.deberta_layer_sp(p, cfg, h, rel_emb_, c2p_map, p2c_map,
-                                   km_full, dtype, axis, t, rank * tl,
-                                   sp=sp, rank=rank, ring=ring)
+            h = lf(p, h, rel_emb_, km_full, rank)
         return h
 
     repl = P()
-    seq_sharded = P(None, axis)
+    ba = _batch_axis(mesh, input_ids.shape[0])
+    seq_sharded = P(ba, axis)
     layers_specs = jax.tree_util.tree_map(lambda _: repl, params["layers"])
     in_specs = [layers_specs, seq_sharded, repl]
     args = [params["layers"], x, rel_emb]
     if km is not None:
-        in_specs.append(repl)
+        in_specs.append(P(ba))
         args.append(km)
     return jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
                          out_specs=seq_sharded, check_vma=False)(*args)

@@ -256,17 +256,30 @@ def init_finetune_state(cfg: TrainConfig, enc, key: jax.Array) -> TrainState:
 
 def make_finetune_raw_step(cfg: TrainConfig, enc,
                            optimizer: Optional[optax.GradientTransformation] = None,
-                           tp_mesh=None):
+                           tp_mesh=None, text_mode: Optional[str] = None,
+                           mesh: Optional[Mesh] = None):
     """End-to-end fine-tuning step: the text/image encoders run inside
     the step WITHOUT stop_gradient and their params live in state.params
     next to the fusion model's — one AdamW over the joint tree. The
     reference can only freeze its encoders (train.py:47 loads them
     frozen); this is framework capability beyond it. Composes with
     gradient accumulation (cfg.accum_steps) and, via the shape-generic
-    spec rules, with ZeRO-1/ZeRO-3 sharding of the joint state."""
+    spec rules, with ZeRO-1/ZeRO-3 sharding of the joint state.
+
+    text_mode ("sp" | "sp_ring" | "pp", with `mesh`): the text-encoder
+    forwards AND backwards run under that parallelism over the mesh model
+    axis — gradients flow straight through the shard_map (all_gather
+    transposes to reduce-scatter, ppermute to its inverse, the GPipe
+    schedule to the reverse pipeline), so parallel serving code IS the
+    parallel training code. Composes with DP (batch stays sharded over
+    "data"; sp/pp shard their batch dims when divisible) and with
+    cfg.remat (per-layer jax.checkpoint inside the sp bodies / pp stage
+    scans). Grads proven equal to the unsplit step in
+    tests/test_finetune_parallel.py."""
     import dataclasses as _dc
 
-    from mmd_tpu.models.frozen import image_encode, text_encode
+    from mmd_tpu.models.frozen import (image_encode, text_encode,
+                                       text_encode_parallel)
     from mmd_tpu.ops.image_ops import TRAIN_TRANSFORM, normalize_on_device
 
     optimizer = optimizer or make_optimizer(cfg)
@@ -280,14 +293,33 @@ def make_finetune_raw_step(cfg: TrainConfig, enc,
                 else enc.text_cfg)
     vit_cfg = (_dc.replace(enc.vit_cfg, remat=True) if cfg.remat
                else enc.vit_cfg)
+    # The DeBERTa disentangled-attention and Swin window Pallas kernels
+    # are FORWARD-ONLY (serving paths, no custom_vjp) — differentiating
+    # through them would fail at trace time on TPU, so fine-tuning routes
+    # those two families to their jnp paths. The BERT-class flash
+    # attention and fused MLP keep their kernels (full fwd+bwd VJPs,
+    # ops/attention.py:508-549, ops/mlp.py:206-227).
+    from mmd_tpu.models.deberta import DebertaConfig as _DBC
+    from mmd_tpu.models.swin import SwinConfig as _SWC
+    if isinstance(text_cfg, _DBC) and text_cfg.fused_attn:
+        text_cfg = _dc.replace(text_cfg, fused_attn=False)
+    if isinstance(vit_cfg, _SWC) and getattr(vit_cfg, "fused_attn", False):
+        vit_cfg = _dc.replace(vit_cfg, fused_attn=False)
+    if text_mode is None:
+        t_enc = lambda p, ids, m: text_encode(p, text_cfg, ids, m)
+    else:
+        if mesh is None:
+            raise ValueError("text parallelism requires a mesh")
+        t_enc = lambda p, ids, m: text_encode_parallel(
+            p, text_cfg, ids, m, mesh=mesh, mode=text_mode)
 
     def joint_loss(params, batch, rng, deterministic=False):
         emb = {
-            "claim_text_embeds": text_encode(
-                params["text"], text_cfg,
+            "claim_text_embeds": t_enc(
+                params["text"],
                 batch["claim_ids"], batch["claim_mask"]),
-            "doc_text_embeds": text_encode(
-                params["text"], text_cfg,
+            "doc_text_embeds": t_enc(
+                params["text"],
                 batch["doc_ids"], batch["doc_mask"]),
             "claim_image_embeds": image_encode(
                 params["vit"], vit_cfg,
@@ -440,6 +472,11 @@ class Trainer:
     # zero1/zero3 via the shape-generic spec rules; not with TP (the TP
     # name rules cover the fusion tree only).
     finetune: bool = False
+    # With finetune: run the text-encoder fwd+bwd under this parallelism
+    # over the mesh model axis — "sp" (sequence parallel), "sp_ring"
+    # (ring attention), or "pp" (GPipe stages). Gradients flow through
+    # the shard_map collectives; equality-tested vs the unsplit step.
+    text_parallelism: Optional[str] = None
 
     def __post_init__(self):
         self._state_shardings = None
@@ -457,6 +494,16 @@ class Trainer:
                 raise ValueError(
                     "finetune composes with zero1/zero3, not TP (the TP "
                     "name rules cover the fusion tree only)")
+        if self.text_parallelism is not None:
+            if not self.finetune:
+                raise ValueError(
+                    "text_parallelism on the Trainer is the fine-tuning "
+                    "surface (serving uses MisinformationPredictor)")
+            if self.text_parallelism not in ("sp", "sp_ring", "pp"):
+                raise ValueError(
+                    f"unknown text_parallelism {self.text_parallelism!r}")
+            if self.mesh.shape.get("model", 1) < 2:
+                raise ValueError("text_parallelism needs a model axis >= 2")
         if self.tensor_parallel or self.zero1 or self.zero3:
             from mmd_tpu.parallel import tp as TP
 
@@ -495,7 +542,9 @@ class Trainer:
         tp_mesh = self.mesh if self.tensor_parallel else None
         if self.finetune:
             ft_step = make_finetune_raw_step(self.cfg, self.encoders,
-                                             self.optimizer)
+                                             self.optimizer,
+                                             text_mode=self.text_parallelism,
+                                             mesh=self.mesh)
             state_sh = self._state_shardings or repl
             data = NamedSharding(self.mesh, P("data"))
             self.train_step = jax.jit(ft_step, in_shardings=(state_sh, data),

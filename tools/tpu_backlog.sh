@@ -39,6 +39,8 @@ TMO=1200 run train_drive python train.py --synthetic_samples 512 --epochs 2 \
 # same drive with device-input pipelining: compare samples/s vs train_drive
 TMO=1200 run train_prefetch python train.py --synthetic_samples 512 --epochs 2 \
     --log_every 4 --prefetch_depth 2 --output_dir "$LOGDIR/train_prefetch"
+# remat FLOPs tax on the fine-tuning step (same-process A/B)
+TMO=2400 run finetune_ab  python benchmarks/bench_finetune_ab.py
 TMO=5400 run pipeline    python -m mmd_tpu.pipelines.run_all \
     --synthetic 35000 --image_size 256 --reference_encoders \
     --timings_json benchmarks/pipeline_timings.json \

@@ -102,7 +102,9 @@ def main():
         trainer = Trainer(cfg, mesh, encoders=enc,
                           tensor_parallel=cfg.mesh.tensor_parallel,
                           zero1=cfg.mesh.zero1, zero3=cfg.mesh.zero3,
-                          finetune=getattr(args, "finetune_encoders", False))
+                          finetune=getattr(args, "finetune_encoders", False),
+                          text_parallelism=getattr(
+                              args, "text_parallelism", None))
 
         def train_batches(epoch):
             return store.batches(cfg.batch_size, shuffle=cfg.data.shuffle,
