@@ -254,6 +254,61 @@ def main():
     print(f"caption: {dt*1e3:.1f} ms/batch{CB}x32tok -> "
           f"{CB*32/dt:,.0f} tok/s, {CB/dt:,.0f} img/s", file=sys.stderr)
 
+    # ---- 6. end-to-end fine-tuning step (beyond-reference: the reference
+    # can only freeze its encoders, train.py:47) --------------------------
+    import dataclasses as _dc
+
+    from mmd_tpu.models.frozen import FrozenEncoders
+    from mmd_tpu.training.trainer import (init_finetune_state,
+                                          make_finetune_raw_step)
+
+    FB, FT = 16, 256
+    ft_tcfg = _dc.replace(te.TEXT_ENCODER_XSMALL, vocab_size=30000,
+                          max_position=FT, dropout=0.0)
+    ft_vcfg = V.ViTConfig()
+    ft_enc = FrozenEncoders(
+        tokenizer=None, text_cfg=ft_tcfg,
+        text_params=te.init_text_encoder(jax.random.key(7), ft_tcfg),
+        vit_cfg=ft_vcfg, vit_params=V.init_vit(jax.random.key(8), ft_vcfg))
+    ft_cfg = TrainConfig(
+        model=ModelConfig(text_input_dim=ft_tcfg.hidden_size,
+                          image_input_dim=ft_vcfg.hidden_size,
+                          fused_attn=True, compute_dtype="bfloat16",
+                          dropout=0.0),
+        batch_size=FB,
+        data=DataConfig(text_seq_len=FT, image_seq_len=64))
+    ft_step = make_finetune_raw_step(ft_cfg, ft_enc)
+    ft_state = init_finetune_state(ft_cfg, ft_enc, jax.random.key(9))
+    rrf = np.random.default_rng(5)
+    ft_batch = {
+        "claim_ids": jnp.asarray(rrf.integers(1, 29000, (FB, FT)), jnp.int32),
+        "claim_mask": jnp.ones((FB, FT), jnp.int32),
+        "doc_ids": jnp.asarray(rrf.integers(1, 29000, (FB, FT)), jnp.int32),
+        "doc_mask": jnp.ones((FB, FT), jnp.int32),
+        "claim_image": jnp.asarray(rrf.integers(0, 255, (FB, 256, 256, 3)),
+                                   jnp.uint8),
+        "doc_image": jnp.asarray(rrf.integers(0, 255, (FB, 256, 256, 3)),
+                                 jnp.uint8),
+        "labels": jnp.asarray(np.stack([np.array([0, 1, 2, 1])] * FB),
+                              jnp.int32),
+    }
+
+    def make_ft(k):
+        @jax.jit
+        def run(state, batch):
+            st = jax.lax.fori_loop(
+                0, k, lambda i, s: ft_step(s, batch)[0], state)
+            return ft_step(st, batch)[1]["loss"]
+        return run
+
+    ffs, ffl = make_ft(2), make_ft(8)
+    float(ffs(ft_state, ft_batch)); float(ffl(ft_state, ft_batch))
+    dt = max((wall(ffl, ft_state, ft_batch) - wall(ffs, ft_state, ft_batch))
+             / 6.0, 1e-9)
+    results["finetune_train_samples_per_sec"] = FB / dt
+    print(f"finetune step (BERT-class 12L + ViT, T={FT}, B={FB}): "
+          f"{dt*1e3:.1f} ms -> {FB/dt:,.0f} samples/s", file=sys.stderr)
+
     # ---- write ------------------------------------------------------------
     # merge-preserve rows this run didn't measure (e.g. bench_raw.py's
     # raw_train_samples_per_sec)
@@ -290,6 +345,9 @@ def write_markdown(out: dict) -> None:
     ] + ([
         f"| Swinv2 embeddings | {out['swin_embeddings_per_sec']:,.0f} img/s | the reference's ACTUAL image encoder (swinv2-base, cosine window attention, CPB), 256px -> 64x1024{_mfu(out, 'swin_mfu_pct')} |",
     ] if 'swin_embeddings_per_sec' in out else []) + [
+    ] + ([
+        f"| fine-tuning step | {out['finetune_train_samples_per_sec']:,.0f} samples/s | END-TO-END: encoders trained too (BERT-class 12L x2 + ViT x2 fwd+bwd+AdamW, T=256, batch 16) — the reference can only freeze |",
+    ] if 'finetune_train_samples_per_sec' in out else []) + [
         f"| im2im retrieval | {out['retrieval_im2im_qps']:,.0f} QPS | cosine top-10 over 41,256 x 2048 corpus (reference: O(N) host loop per query) |",
         f"| text2text retrieval | {out['retrieval_text2text_qps']:,.0f} QPS | cosine top-10 over 42,500 x 768 corpus |",
         f"| caption decode | {out['caption_tokens_per_sec']:,.0f} tok/s | KV-cached greedy, batch 32, 32 new tokens |",
