@@ -26,14 +26,24 @@ from mmd_tpu.ops.topk import dense_topk, exact_score_dedup
 
 class ImageCorpus:
     def __init__(self, store_dir: str | Path, resnet_params=None,
-                 cfg: ResNetConfig = ResNetConfig(), mesh=None):
+                 cfg: ResNetConfig = ResNetConfig(), mesh=None,
+                 int8: bool = False):
         """With `mesh`, corpus rows shard across its devices and queries run
         the local-topk -> ICI all-gather -> re-topk reduction
-        (ops/topk.make_sharded_topk)."""
+        (ops/topk.make_sharded_topk). With `int8`, the corpus lives as
+        per-row-quantized int8 (+ f32 scales) and scoring runs the int8
+        MXU path (ops/topk.dense_topk_int8: 2x bf16 peak, half the HBM
+        traffic; near-tie ordering can differ by the ~1/127 quantization
+        step). int8 is single-device (exclusive with mesh)."""
         import jax
         self.dir = Path(store_dir)
         self.cfg = cfg
         self.mesh = mesh
+        if int8 and mesh is not None:
+            raise ValueError("int8 corpus scoring is single-device "
+                             "(exclusive with mesh)")
+        self.int8 = int8
+        self._scales = None
         self._sharded_fn = None
         if resnet_params is None:
             resnet_params = init_resnet(jax.random.key(7), cfg)
@@ -96,6 +106,12 @@ class ImageCorpus:
                 self._features = jax.device_put(
                     jnp.asarray(feats, jnp.bfloat16),
                     NamedSharding(self.mesh, P("data")))
+            elif self.int8:
+                from mmd_tpu.ops.topk import l2_normalize, quantize_rows_int8
+                q8, s = jax.jit(
+                    lambda f: quantize_rows_int8(l2_normalize(f))
+                )(jnp.asarray(feats, jnp.float32))
+                self._features, self._scales = q8, s
             else:
                 self._features = jnp.asarray(feats, jnp.bfloat16)
 
@@ -132,6 +148,10 @@ class ImageCorpus:
                     self.mesh, "data", n_corpus=self._features.shape[0],
                     k=fetch)
             s, i = self._sharded_fn(q, self._features)
+        elif self.int8:
+            from mmd_tpu.ops.topk import dense_topk_int8
+            s, i = dense_topk_int8(jnp.asarray(queries, jnp.float32),
+                                   self._features, self._scales, fetch)
         else:
             s, i = dense_topk(q, self._features, fetch)
         s, i = np.asarray(s), np.asarray(i)
@@ -161,10 +181,14 @@ def main():
     p.add_argument("--query", type=str, default=None)
     p.add_argument("--top_k", type=int, default=5)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the corpus int8-quantized (half the HBM, "
+                        "int8 MXU scoring; ops/topk.dense_topk_int8)")
     args = p.parse_args()
     from mmd_tpu.models.resnet import RESNET_TEST, ResNetConfig
     corpus = ImageCorpus(args.store,
-                         cfg=RESNET_TEST if args.tiny else ResNetConfig())
+                         cfg=RESNET_TEST if args.tiny else ResNetConfig(),
+                         int8=args.int8)
     if args.build_dir:
         paths = sorted(str(x) for x in Path(args.build_dir).glob("*.jpg"))
         corpus.create_feature_corpus(paths)

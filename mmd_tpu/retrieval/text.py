@@ -25,7 +25,7 @@ import numpy as np
 from mmd_tpu.data.store import ArrayStore, ArrayStoreWriter
 from mmd_tpu.data.tokenizer import WordPieceTokenizer
 from mmd_tpu.models import text_encoder as te
-from mmd_tpu.ops.topk import dense_topk, exact_score_dedup
+from mmd_tpu.ops.topk import exact_score_dedup
 
 
 class TextCorpus:
@@ -33,7 +33,11 @@ class TextCorpus:
 
     def __init__(self, store_dir: str | Path, tokenizer: WordPieceTokenizer,
                  cfg=None, params=None, seed: int = 11,
-                 max_length: int = 512):
+                 max_length: int = 512, int8: bool = False):
+        """With `int8`, the corpus matrix lives per-row-quantized int8 in
+        HBM (+ f32 scales) and scoring runs the int8 MXU path
+        (ops/topk.dense_topk_int8) — half the corpus memory/traffic, 2x
+        matmul peak, near-tie ordering within the ~1/127 step."""
         import jax
         self.dir = Path(store_dir)
         self.tokenizer = tokenizer
@@ -45,7 +49,10 @@ class TextCorpus:
             params = te.init_text_encoder(jax.random.key(seed), self.cfg)
         self.params = params
         self.max_length = max_length
+        self.int8 = int8
         self._emb = None
+        self._q8 = None
+        self._scales = None
         self._ids: Optional[list] = None
 
         @jax.jit
@@ -80,12 +87,31 @@ class TextCorpus:
         return len(emb)
 
     def load(self):
+        import jax
         import jax.numpy as jnp
-        if self._emb is None:
+        if self._ids is None:
             store = ArrayStore(self.dir)
-            self._emb = jnp.asarray(store.col("embeddings"), jnp.bfloat16)
             self._ids = json.loads((self.dir / "ids.json").read_text())
+            feats = store.col("embeddings")
+            if self.int8:
+                from mmd_tpu.ops.topk import l2_normalize, quantize_rows_int8
+                self._q8, self._scales = jax.jit(
+                    lambda f: quantize_rows_int8(l2_normalize(f))
+                )(jnp.asarray(feats, jnp.float32))
+            else:
+                self._emb = jnp.asarray(feats, jnp.bfloat16)
         return self._emb, self._ids
+
+    def topk(self, queries, k: int):
+        """(scores (Q, k) f32, indices (Q, k) i32) over this corpus —
+        dispatches bf16 dense_topk / int8 MXU path per the `int8` flag."""
+        import jax.numpy as jnp
+        from mmd_tpu.ops.topk import dense_topk, dense_topk_int8
+        self.load()
+        if self.int8:
+            return dense_topk_int8(jnp.asarray(queries, jnp.float32),
+                                   self._q8, self._scales, k)
+        return dense_topk(jnp.asarray(queries, jnp.bfloat16), self._emb, k)
 
 
 def resolve_retrieval_encoders(assets_dir) -> dict:
@@ -161,11 +187,11 @@ class SemanticSearch:
         cands: list[tuple[str, float]] = []
         fetch = top_k * recall_factor
         for corpus in self.corpora:
-            emb, ids = corpus.load()
+            _, ids = corpus.load()
             k = min(fetch, len(ids))
             if k == 0:
                 continue
-            s, i = dense_topk(jnp.asarray(q, jnp.bfloat16), emb, k)
+            s, i = corpus.topk(q, k)
             s, i = np.asarray(s)[0], np.asarray(i)[0]
             cands.extend((ids[j], float(v)) for v, j in zip(s, i))
 
@@ -196,6 +222,9 @@ def main():
     p.add_argument("--query", type=str, default=None)
     p.add_argument("--top_k", type=int, default=5)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the corpora int8-quantized (half the "
+                        "HBM, int8 MXU scoring)")
     args = p.parse_args()
     root = get_project_root()
     tok = WordPieceTokenizer.load(Path(args.assets) / "tokenizer.json")
@@ -210,7 +239,7 @@ def main():
         df = pd.read_csv(csv)
         col = "evidence_enriched" if "evidence_enriched" in df else "evidence"
         corpus = TextCorpus(root / "data" / "retrieval" / f"text_{split}",
-                            tok, cfg=cfg)
+                            tok, cfg=cfg, int8=args.int8)
         if not (corpus.dir / "meta.json").exists():
             corpus.encode_corpus(df[col].fillna("").astype(str).tolist(),
                                  [f"{split}_{i}" for i in df["id"]])

@@ -169,3 +169,37 @@ def test_resolve_retrieval_encoders_roundtrip(tmp_path):
     assert got["bi_cfg"].relative_bias_buckets == 8
     assert got["bi_cfg"].mpnet_positions
     assert "rel_bias" in got["bi_params"]
+
+
+def test_text_corpus_int8_search_matches(text_setup):
+    """int8-quantized corpus: self-retrieval still rank-1 and the returned
+    ids match the bf16 path on this margin-rich corpus."""
+    docs, ids, corpus, _ = text_setup
+    from mmd_tpu.retrieval.text import SemanticSearch, TextCorpus
+
+    c8 = TextCorpus(corpus.dir, corpus.tokenizer, cfg=corpus.cfg,
+                    params=corpus.params, int8=True)
+    search8 = SemanticSearch(c8, [c8])
+    search = SemanticSearch(corpus, [corpus])
+    for i in (0, 2, 4):
+        r8 = search8.search(docs[i], top_k=2)
+        r = search.search(docs[i], top_k=2)
+        assert r8[0][0] == ids[i], r8
+        assert [a for a, _ in r8] == [a for a, _ in r]
+
+
+def test_image_corpus_int8_near_duplicate(image_corpus, image_dir):
+    """ImageCorpus(int8=True) over the already-built store: the near-
+    duplicate is still rank-1 (quantization error 1/127 << the margin)."""
+    from mmd_tpu.retrieval.image import ImageCorpus
+
+    c8 = ImageCorpus(image_corpus.dir, resnet_params=image_corpus.params,
+                     cfg=image_corpus.cfg, int8=True)
+    results = c8.retrieve_similar_images(
+        str(image_dir / "2_claim.jpg"), top_k=3)
+    assert Path(results[0][0]).name == "2_evidence.jpg"
+    assert results[0][1] > 0.98
+    import pytest as _pt
+    with _pt.raises(ValueError, match="single-device"):
+        ImageCorpus(image_corpus.dir, cfg=image_corpus.cfg, int8=True,
+                    mesh=object())
