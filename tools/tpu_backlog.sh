@@ -43,6 +43,8 @@ TMO=1200 run train_prefetch python train.py --synthetic_samples 512 --epochs 2 \
 TMO=2400 run finetune_ab  python benchmarks/bench_finetune_ab.py
 # int8 vs bf16 corpus retrieval scoring (same-process A/B)
 TMO=1800 run int8_ab      python benchmarks/bench_int8_ab.py
+# end-to-end serving QPS through the batching engine (tunnel lower bound)
+TMO=1800 run serving      python benchmarks/bench_serving.py
 TMO=5400 run pipeline    python -m mmd_tpu.pipelines.run_all \
     --synthetic 35000 --image_size 256 --reference_encoders \
     --timings_json benchmarks/pipeline_timings.json \
