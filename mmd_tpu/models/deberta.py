@@ -17,6 +17,7 @@ embeddings (position_biased_input=false) and type_vocab_size=0.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional
 
@@ -46,6 +47,14 @@ class DebertaConfig:
                                      # (B, T, D) block boundaries across the
                                      # backward (fine-tuning memory lever;
                                      # exact same grads, ~1 extra forward)
+    fused_train: bool = False        # keep the Pallas kernel when FINE-
+                                     # TUNING: the hand-derived backward
+                                     # kernel (_deberta_attn_bwd_kernel)
+                                     # serves the VJP. Interpret-validated
+                                     # vs the jnp path; opt-in until the
+                                     # real-TPU Mosaic compile is verified
+                                     # (trainer gates DeBERTa to jnp paths
+                                     # in finetune unless this is set)
 
     @property
     def pos_ebd_size(self) -> int:
@@ -270,7 +279,184 @@ def _deberta_attn_fused(q, k, v, pos_k_d, pos_q_d, mask, num_heads: int,
             bytes_accessed=4 * b * t * d * q.dtype.itemsize,
             transcendentals=b * num_heads * t * t,
         ),
+        interpret=jax.default_backend() != "tpu",
     )(q, k, v, pos_k_d, pos_q_d, mask[:, None, :])
+
+
+# -- fused backward (fine-tuning path) ------------------------------------------
+# The fwd kernel's strided diagonal roll is a permutation, so its transpose
+# is ANOTHER strided roll: y[i, j] = x[i, (j - shift - stride*i) mod N]
+# inverts with shift' = (N - shift) mod N, stride' = (N - stride) mod N
+# (both non-negative, lane axis — inside every Mosaic constraint the fwd
+# already satisfies). Per head: recompute scores/softmax from the saved
+# operands (nothing (T, T)-sized crosses HBM), then
+#   dv   = P^T dO
+#   ds   = P (dP - rowsum(dP P)),  dP = dO V^T, masked cols zeroed, *scale
+#   dq   = ds K        + roll^{-1}(pad(ds))    PK
+#   dk   = ds^T Q      + roll^{-1}(pad(ds^T))  PQ
+#   dPK += roll^{-1}(pad(ds))^T   Q      (accumulated over the batch grid)
+#   dPQ += roll^{-1}(pad(ds^T))^T K
+
+
+def _deberta_attn_bwd_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
+                             do_ref, dq_ref, dk_ref, dv_ref, dpk_ref,
+                             dpq_ref, *, num_heads: int, scale: float):
+    """Blocks: q/k/v/do/dq/dk/dv (GB, T, D); pk/pq/dpk/dpq (2T, D);
+    mask (GB, 1, T). dpk/dpq revisit the same block every grid step
+    (sequential on TPU), so they zero-init at step 0 and accumulate."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    do = do_ref[:]
+    gb, t, d = q.shape
+    dh = d // num_heads
+    n2 = 2 * t
+    key_ok = mask_ref[:] > 0                               # (GB, 1, T)
+    neg = jnp.finfo(jnp.float32).min
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dpk_ref[:] = jnp.zeros_like(dpk_ref)
+        dpq_ref[:] = jnp.zeros_like(dpq_ref)
+
+    f32 = jnp.float32
+    for h0 in range(num_heads):
+        cols = slice(h0 * dh, (h0 + 1) * dh)
+        qh = q[:, :, cols]
+        kh = k[:, :, cols]
+        vh = v[:, :, cols]
+        doh = do[:, :, cols].astype(f32)
+        pkh = pk_ref[:][:, cols]                           # (2T, dh)
+        pqh = pq_ref[:][:, cols]
+
+        # -- recompute the masked softmax exactly as the fwd kernel ----
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=f32)  # (GB, T, T)
+        c2p = jax.lax.dot_general(qh, pkh, (((2,), (1,)), ((), ())),
+                                  preferred_element_type=f32)  # (GB, T, 2T)
+        p2c = jax.lax.dot_general(kh, pqh, (((2,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+        c2p_r = pltpu.roll(c2p, shift=t + 1, axis=2, stride=1, stride_axis=1)
+        p2c_r = pltpu.roll(p2c, shift=t + 1, axis=2, stride=1, stride_axis=1)
+        s = s + c2p_r[:, :, :t] + jnp.swapaxes(p2c_r[:, :, :t], 1, 2)
+        s = jnp.where(key_ok, s * scale, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)         # (GB, T, T) f32
+
+        # -- softmax/value backward -------------------------------------
+        dv_h = jax.lax.dot_general(p, doh, (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32)  # (GB, T, dh)
+        dp = jax.lax.dot_general(doh, vh, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=f32)    # (GB, T, T)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        # the fwd `where` zeroes masked columns' cotangent; * the shared scale
+        ds = jnp.where(key_ok, ds * scale, 0.0)            # (GB, T, T)
+
+        # -- content terms ----------------------------------------------
+        dq_h = jax.lax.dot_general(ds, kh, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32)
+        ds_t = jnp.swapaxes(ds, 1, 2)                      # (GB, T(k), T(q))
+        dk_h = jax.lax.dot_general(ds_t, qh, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32)
+
+        # -- positional terms: pad the (.., T) cotangent to 2T lanes and
+        # invert the diagonal roll ---------------------------------------
+        zpad = jnp.zeros((gb, t, t), f32)
+        dc2p = pltpu.roll(jnp.concatenate([ds, zpad], axis=2),
+                          shift=n2 - (t + 1), axis=2, stride=n2 - 1,
+                          stride_axis=1)                   # (GB, T, 2T)
+        dp2c = pltpu.roll(jnp.concatenate([ds_t, zpad], axis=2),
+                          shift=n2 - (t + 1), axis=2, stride=n2 - 1,
+                          stride_axis=1)
+        dq_h = dq_h + jax.lax.dot_general(
+            dc2p, pkh, (((2,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dk_h = dk_h + jax.lax.dot_general(
+            dp2c, pqh, (((2,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        # table grads: contract over (GB, T) rows -> (2T, dh), accumulated
+        dpk_h = jax.lax.dot_general(
+            dc2p.reshape(gb * t, n2), qh.astype(f32).reshape(gb * t, dh),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        dpq_h = jax.lax.dot_general(
+            dp2c.reshape(gb * t, n2), kh.astype(f32).reshape(gb * t, dh),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
+        dq_ref[:, :, cols] = dq_h.astype(dq_ref.dtype)
+        dk_ref[:, :, cols] = dk_h.astype(dk_ref.dtype)
+        dv_ref[:, :, cols] = dv_h.astype(dv_ref.dtype)
+        dpk_ref[:, cols] = dpk_ref[:, cols] + dpk_h.astype(dpk_ref.dtype)
+        dpq_ref[:, cols] = dpq_ref[:, cols] + dpq_h.astype(dpq_ref.dtype)
+
+
+def _deberta_attn_fused_bwd_call(q, k, v, pos_k_d, pos_q_d, mask, do,
+                                 num_heads: int, scale: float):
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, d = q.shape
+    gb = 1
+    qblk = pl.BlockSpec((gb, t, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    pblk = pl.BlockSpec((2 * t, d), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    mblk = pl.BlockSpec((gb, 1, t), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        functools.partial(_deberta_attn_bwd_kernel, num_heads=num_heads,
+                          scale=scale),
+        grid=(b // gb,),
+        in_specs=[qblk, qblk, qblk, pblk, pblk, mblk, qblk],
+        out_specs=(qblk, qblk, qblk, pblk, pblk),
+        out_shape=(jax.ShapeDtypeStruct((b, t, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, t, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, t, d), q.dtype),
+                   jax.ShapeDtypeStruct((2 * t, d), f32),
+                   jax.ShapeDtypeStruct((2 * t, d), f32)),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * b * t * t * d,
+            bytes_accessed=8 * b * t * d * q.dtype.itemsize,
+            transcendentals=b * num_heads * t * t,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, pos_k_d, pos_q_d, mask[:, None, :], do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _deberta_attn_trainable(q, k, v, pos_k_d, pos_q_d, mask, num_heads,
+                            scale):
+    """_deberta_attn_fused with a hand-derived Pallas backward — the
+    fine-tuning fast path (DebertaConfig.fused_train). Grads equal the
+    jnp one-hot path's (tests/test_deberta_bwd.py)."""
+    return _deberta_attn_fused(q, k, v, pos_k_d, pos_q_d, mask, num_heads,
+                               scale)
+
+
+def _deberta_attn_trainable_fwd(q, k, v, pos_k_d, pos_q_d, mask, num_heads,
+                                scale):
+    out = _deberta_attn_fused(q, k, v, pos_k_d, pos_q_d, mask, num_heads,
+                              scale)
+    return out, (q, k, v, pos_k_d, pos_q_d, mask)
+
+
+def _deberta_attn_trainable_bwd(num_heads, scale, res, g):
+    q, k, v, pos_k_d, pos_q_d, mask = res
+    dq, dk, dv, dpk, dpq = _deberta_attn_fused_bwd_call(
+        q, k, v, pos_k_d, pos_q_d, mask, g.astype(q.dtype), num_heads,
+        scale)
+    return (dq, dk, dv, dpk.astype(pos_k_d.dtype),
+            dpq.astype(pos_q_d.dtype), None)
+
+
+_deberta_attn_trainable.defvjp(_deberta_attn_trainable_fwd,
+                               _deberta_attn_trainable_bwd)
 
 
 def _disentangled_attention_fused(p, cfg: DebertaConfig, x, rel_emb, c2p_map,
@@ -293,9 +479,12 @@ def _disentangled_attention_fused(p, cfg: DebertaConfig, x, rel_emb, c2p_map,
                                pad])
     if key_mask is None:
         key_mask = jnp.ones((x.shape[0], t), jnp.int32)
-    ctx = _deberta_attn_fused(q, k, v, pos_k_d, pos_q_d,
-                              key_mask.astype(jnp.int32), cfg.num_heads,
-                              scale)
+    # routed through the custom_vjp wrapper: the primal is the same fused
+    # kernel; differentiation (fine-tuning) hits the hand-derived Pallas
+    # backward instead of failing on an underivable pallas_call
+    ctx = _deberta_attn_trainable(q, k, v, pos_k_d, pos_q_d,
+                                  key_mask.astype(jnp.int32),
+                                  cfg.num_heads, scale)
     return L.linear(p["attn_out"], ctx, dtype)
 
 

@@ -301,7 +301,10 @@ def make_finetune_raw_step(cfg: TrainConfig, enc,
     # ops/attention.py:508-549, ops/mlp.py:206-227).
     from mmd_tpu.models.deberta import DebertaConfig as _DBC
     from mmd_tpu.models.swin import SwinConfig as _SWC
-    if isinstance(text_cfg, _DBC) and text_cfg.fused_attn:
+    if (isinstance(text_cfg, _DBC) and text_cfg.fused_attn
+            and not text_cfg.fused_train):
+        # fused_train=True opts into the hand-derived Pallas backward
+        # (_deberta_attn_trainable) and keeps the kernel in fine-tuning
         text_cfg = _dc.replace(text_cfg, fused_attn=False)
     if isinstance(vit_cfg, _SWC) and getattr(vit_cfg, "fused_attn", False):
         vit_cfg = _dc.replace(vit_cfg, fused_attn=False)

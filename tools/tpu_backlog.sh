@@ -45,6 +45,9 @@ TMO=2400 run finetune_ab  python benchmarks/bench_finetune_ab.py
 TMO=1800 run int8_ab      python benchmarks/bench_int8_ab.py
 # end-to-end serving QPS through the batching engine (tunnel lower bound)
 TMO=1800 run serving      python benchmarks/bench_serving.py
+# Mosaic-compile + grad validation of the DeBERTa trainable-kernel bwd;
+# on pass, DebertaConfig.fused_train is safe to flip for fine-tuning
+TMO=1800 run deberta_bwd  python benchmarks/validate_deberta_bwd_tpu.py
 TMO=5400 run pipeline    python -m mmd_tpu.pipelines.run_all \
     --synthetic 35000 --image_size 256 --reference_encoders \
     --timings_json benchmarks/pipeline_timings.json \
