@@ -76,6 +76,12 @@ class SwinConfig:
     # cosine-attention intermediates, and 4x-MLP hidden recompute per
     # block). Exact same grads, ~1 extra forward.
     remat: bool = False
+    # keep the fused window-attention kernel when FINE-TUNING: its
+    # hand-derived Pallas backward (ops/swin_attention._bwd_kernel)
+    # serves the VJP, CPB grads included. Interpret-validated
+    # (tests/test_swin_bwd.py); opt-in until the real-TPU compile is
+    # verified (the trainer gates fused_attn off in finetune otherwise).
+    fused_train: bool = False
 
     def __post_init__(self):
         self.depths = tuple(self.depths)

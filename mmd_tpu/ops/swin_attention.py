@@ -1,4 +1,4 @@
-"""Fused Swinv2 window-attention kernel (forward-only, Pallas).
+"""Fused Swinv2 window-attention kernel (Pallas, fwd + hand-derived bwd).
 
 The reference embeds images with Swinv2-base (reference
 src/data_loader/preprocess_embeddings.py:26-28); models/swin.py re-derives
@@ -10,9 +10,10 @@ same MXU head-packing as ops/attention.py (g = 128/dh = 4 heads per
 block-diagonal matmul — every Swinv2-base stage has dh = 32) and keeps
 the whole score -> bias -> softmax -> context chain in VMEM.
 
-Division of labor (chosen so the kernel stays small and fwd-only — the
-encoder is frozen; embed/eval are forward passes and the raw train path
-wraps it in stop_gradient):
+Division of labor (chosen so the kernel stays small — serving is
+forward-only; fine-tuning differentiates through the custom_vjp whose
+backward is _bwd_kernel, with the cotangents of everything placed
+OUTSIDE handled by XLA):
   * OUTSIDE (XLA): q/k/v projections (good GEMMs), cosine normalization
     with the per-head clamped logit scale and the exp2 base change folded
     into q', and the combined additive bias (CPB + the HF double-counted
@@ -100,20 +101,17 @@ def _rows_per_block(b: int, n: int, c: int, heads: int, itemsize: int) -> int:
     return max(gb, 1)
 
 
-def swin_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                          bias: jax.Array, heads: int) -> jax.Array:
-    """q/k/v (nW, B, n, C) — q pre-scaled by scale*log2(e), q/k L2-normalized
-    per head; bias (nW, h, n, n) f32 additive logits in the LOG2 domain
-    (pass bias*log2(e)). Returns (nW, B, n, C)."""
-    nw, b, n, c = q.shape
-    dh = c // heads
-    g = _group_size(dh, heads)
-    gb = _rows_per_block(b, n, c, heads, q.dtype.itemsize)
-    # pre-pack the bias into score-segment layout: head h0+j's (n, n) tile
-    # sits at lanes [j*n, (j+1)*n) of its group row -> (nW, h//g, n, g*n),
-    # last dim >= 128 at the production geometry
+def _pack_bias(bias: jax.Array, heads: int, g: int) -> jax.Array:
+    """(nW, h, n, n) -> score-segment layout (nW, h//g, n, g*n): head
+    h0+j's (n, n) tile sits at lanes [j*n, (j+1)*n) of its group row, so
+    no kernel-boundary array has a last dim < 128 at production geometry."""
+    nw, _, n, _ = bias.shape
     bias_g = bias.reshape(nw, heads // g, g, n, n)
-    bias_g = bias_g.transpose(0, 1, 3, 2, 4).reshape(nw, heads // g, n, g * n)
+    return bias_g.transpose(0, 1, 3, 2, 4).reshape(nw, heads // g, n, g * n)
+
+
+def _call_fwd(q, k, v, bias_g, heads: int, g: int, gb: int):
+    nw, b, n, c = q.shape
     blk = pl.BlockSpec((1, gb, n, c), lambda i, j: (i, j, 0, 0),
                        memory_space=pltpu.VMEM)
     bias_blk = pl.BlockSpec((1, heads // g, n, g * n),
@@ -132,3 +130,122 @@ def swin_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         ),
         interpret=jax.default_backend() != "tpu",
     )(q, k, v, bias_g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def swin_window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          bias: jax.Array, heads: int) -> jax.Array:
+    """q/k/v (nW, B, n, C) — q pre-scaled by scale*log2(e), q/k L2-normalized
+    per head; bias (nW, h, n, n) f32 additive logits in the LOG2 domain
+    (pass bias*log2(e)). Returns (nW, B, n, C).
+
+    Differentiable: the backward is the hand-derived Pallas kernel
+    (_bwd_kernel) — log2-domain softmax-attention backward with the bias
+    cotangent (the trainable CPB path under fine-tuning) accumulated over
+    the batch grid. The cosine normalization and logit scaling live
+    OUTSIDE in XLA, which differentiates them for free."""
+    nw, b, n, c = q.shape
+    dh = c // heads
+    g = _group_size(dh, heads)
+    gb = _rows_per_block(b, n, c, heads, q.dtype.itemsize)
+    return _call_fwd(q, k, v, _pack_bias(bias, heads, g), heads, g, gb)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref, *, heads: int, g: int):
+    """Blocks as the fwd (+ do like q, dbias like bias). dbias revisits
+    its block across the batch grid dim: zero-init at j == 0, accumulate.
+    exp2 domain: d(sb) = ln2 * P * (dP - rowsum(dP * P))."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    n = q.shape[1]
+    dh = q.shape[-1] // heads
+    ln2 = 0.6931471805599453
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    for grp, h0 in enumerate(range(0, heads, g)):
+        cols = slice(h0 * dh, (h0 + g) * dh)
+        kp = _pack_blockdiag(k, h0, g, dh)
+        s = jax.lax.dot_general(
+            q[:, :, cols], kp, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f32)                    # (GB, n, g*n)
+        sb = s + bias_ref[0, grp][None]
+        m = jnp.max(sb, axis=-1, keepdims=True)
+        p = jnp.exp2(sb - m)
+        for j in range(g):
+            seg = slice(j * n, (j + 1) * n)
+            hc = slice((h0 + j) * dh, (h0 + j + 1) * dh)
+            l = jnp.maximum(jnp.sum(p[:, :, seg], axis=-1, keepdims=True),
+                            1e-37)
+            pj = p[:, :, seg] / l                          # (GB, n, n) f32
+            doh = do[:, :, hc].astype(f32)
+            vh = v[:, :, hc].astype(f32)
+            dv_j = jax.lax.dot_general(pj, doh,
+                                       (((1,), (1,)), ((0,), (0,))),
+                                       preferred_element_type=f32)
+            dp = jax.lax.dot_general(doh, vh,
+                                     (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=f32)
+            ds = ln2 * pj * (dp - jnp.sum(dp * pj, axis=-1, keepdims=True))
+            qh = q[:, :, hc].astype(f32)
+            kh = k[:, :, hc].astype(f32)
+            dq_j = jax.lax.dot_general(ds, kh,
+                                       (((2,), (1,)), ((0,), (0,))),
+                                       preferred_element_type=f32)
+            dk_j = jax.lax.dot_general(jnp.swapaxes(ds, 1, 2), qh,
+                                       (((2,), (1,)), ((0,), (0,))),
+                                       preferred_element_type=f32)
+            dq_ref[0, :, :, hc] = dq_j.astype(dq_ref.dtype)
+            dk_ref[0, :, :, hc] = dk_j.astype(dk_ref.dtype)
+            dv_ref[0, :, :, hc] = dv_j.astype(dv_ref.dtype)
+            dbias_ref[0, grp, :, seg] = (dbias_ref[0, grp, :, seg]
+                                         + jnp.sum(ds, axis=0))
+
+
+def _swin_attn_fwd(q, k, v, bias, heads):
+    out = swin_window_attention.__wrapped__(q, k, v, bias, heads)
+    return out, (q, k, v, bias)
+
+
+def _swin_attn_bwd(heads, res, do):
+    q, k, v, bias = res
+    nw, b, n, c = q.shape
+    dh = c // heads
+    g = _group_size(dh, heads)
+    gb = _rows_per_block(b, n, c, heads, q.dtype.itemsize)
+    bias_g = _pack_bias(bias, heads, g)
+    blk = pl.BlockSpec((1, gb, n, c), lambda i, j: (i, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bias_blk = pl.BlockSpec((1, heads // g, n, g * n),
+                            lambda i, j: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    dq, dk, dv, dbias_g = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, g=g),
+        grid=(nw, b // gb),
+        in_specs=[blk, blk, blk, bias_blk, blk],
+        out_specs=(blk, blk, blk, bias_blk),
+        out_shape=(jax.ShapeDtypeStruct((nw, b, n, c), q.dtype),
+                   jax.ShapeDtypeStruct((nw, b, n, c), q.dtype),
+                   jax.ShapeDtypeStruct((nw, b, n, c), q.dtype),
+                   jax.ShapeDtypeStruct((nw, heads // g, n, g * n), f32)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * nw * b * n * n * c,
+            bytes_accessed=8 * nw * b * n * c * q.dtype.itemsize,
+            transcendentals=nw * b * heads * n * n,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, bias_g, do.astype(q.dtype))
+    # un-pack the bias cotangent back to (nW, h, n, n)
+    dbias = dbias_g.reshape(nw, heads // g, n, g, n)
+    dbias = dbias.transpose(0, 1, 3, 2, 4).reshape(nw, heads, n, n)
+    return dq, dk, dv, dbias.astype(bias.dtype)
+
+
+swin_window_attention.defvjp(_swin_attn_fwd, _swin_attn_bwd)

@@ -306,7 +306,8 @@ def make_finetune_raw_step(cfg: TrainConfig, enc,
         # fused_train=True opts into the hand-derived Pallas backward
         # (_deberta_attn_trainable) and keeps the kernel in fine-tuning
         text_cfg = _dc.replace(text_cfg, fused_attn=False)
-    if isinstance(vit_cfg, _SWC) and getattr(vit_cfg, "fused_attn", False):
+    if (isinstance(vit_cfg, _SWC) and vit_cfg.fused_attn
+            and not vit_cfg.fused_train):
         vit_cfg = _dc.replace(vit_cfg, fused_attn=False)
     if text_mode is None:
         t_enc = lambda p, ids, m: text_encode(p, text_cfg, ids, m)

@@ -7,6 +7,13 @@ attention backward. Gradients of the custom_vjp wrapper must equal
 autodiff of an operand-level jnp oracle implementing the identical math
 — including the positional-TABLE grads (dPK/dPQ accumulate over the
 batch grid) and masked-column zeroing.
+
+Geometry note: interpret mode compiles the kernel body as ONE XLA:CPU
+computation; above ~(t=192, 6 heads) LLVM segfaults on the unrolled
+graph (compile-time crash, not a math/Mosaic property — the fwd kernel
+with the same loop structure compiles and runs at T=512 on real TPU).
+Hence t <= 128 here; benchmarks/validate_deberta_bwd_tpu.py covers the
+production geometry on hardware.
 """
 
 import math
