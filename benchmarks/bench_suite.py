@@ -84,7 +84,7 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     # ---- 1. fusion train step -------------------------------------------
-    from mmd_tpu.core.config import ModelConfig, TrainConfig
+    from mmd_tpu.core.config import DataConfig, ModelConfig, TrainConfig
     from mmd_tpu.core.mesh import make_mesh
     from mmd_tpu.data.synthetic import synthetic_preembed_batch
     from mmd_tpu.training.trainer import Trainer, make_raw_step

@@ -43,15 +43,18 @@ def main():
     params = SW.init_swin(jax.random.key(3), SW.SWIN_BASE_256)
 
     def build(cfg):
-        def step(c, x):
-            out = SW.swin_forward(params, cfg, data_dep(x, c))
+        # params MUST be a jit argument: closed-over pytrees are baked into
+        # the HLO as constants and the ~350 MB payload 413s the remote
+        # compile helper (CLAUDE.md round-2 note).
+        def step(p, c, x):
+            out = SW.swin_forward(p, cfg, data_dep(x, c))
             return jnp.mean(out).astype(jnp.float32)
 
         def make(k):
             @jax.jit
-            def run(x):
+            def run(p, x):
                 return jax.lax.fori_loop(
-                    0, k, lambda i, c: step(c, x), jnp.float32(0.0))
+                    0, k, lambda i, c: step(p, c, x), jnp.float32(0.0))
             return run
 
         return make(K_SMALL), make(K_LARGE)
@@ -63,15 +66,15 @@ def main():
     }
     for tag, (fs, fl) in variants.items():
         t0 = time.time()
-        float(fs(imgs)); float(fl(imgs))
+        float(fs(params, imgs)); float(fl(params, imgs))
         print(f"{tag}: compiled in {time.time()-t0:.0f}s", file=sys.stderr)
 
     dts = {tag: [] for tag in variants}
     for rep in range(args.reps):
         for tag, (fs, fl) in variants.items():
-            t0 = time.perf_counter(); float(fs(imgs))
+            t0 = time.perf_counter(); float(fs(params, imgs))
             ts = time.perf_counter() - t0
-            t0 = time.perf_counter(); float(fl(imgs))
+            t0 = time.perf_counter(); float(fl(params, imgs))
             tl = time.perf_counter() - t0
             dts[tag].append((tl - ts) / (K_LARGE - K_SMALL))
     out = {}

