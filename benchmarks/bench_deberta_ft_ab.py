@@ -107,6 +107,12 @@ def main():
     delta = (out["jnp_path"] - out["fused_train"]) / out["jnp_path"] * 100
     print(f"trainable DeBERTa kernel saves {delta:+.1f}% of the "
           f"fine-tuning step")
+    from ab_log import record
+    record("deberta_fused_train_ab", {
+        "jnp_samples_per_s": round(B / out["jnp_path"], 1),
+        "fused_samples_per_s": round(B / out["fused_train"], 1),
+        "fused_saves_pct": round(delta, 1),
+        "protocol": "in-jit fori delta, 5 interleaved reps, medians"})
 
 
 if __name__ == "__main__":

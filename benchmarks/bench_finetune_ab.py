@@ -106,6 +106,12 @@ def main():
     delta = (out["remat"] - out["plain"]) / out["plain"] * 100
     print(f"remat FLOPs tax: {delta:+.1f}% step time "
           f"(buys intra-block activation memory for bigger batches)")
+    from ab_log import record
+    record("finetune_remat_ab", {
+        "plain_samples_per_s": round(B / out["plain"], 1),
+        "remat_samples_per_s": round(B / out["remat"], 1),
+        "remat_tax_pct": round(delta, 1),
+        "protocol": "in-jit fori delta, interleaved reps, medians"})
 
 
 if __name__ == "__main__":

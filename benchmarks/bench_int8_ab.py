@@ -35,6 +35,7 @@ def main():
 
     rng = np.random.default_rng(0)
     QB = 64
+    results = {}
     for name, (n, d) in {"im2im": (41256, 2048),
                          "text2text": (42500, 768)}.items():
         corpus_f = rng.standard_normal((n, d)).astype(np.float32)
@@ -62,6 +63,13 @@ def main():
         print(f"{name} ({n}x{d}): bf16 {QB/t_bf:,.0f} qps | "
               f"int8 {QB/t_i8:,.0f} qps | "
               f"speedup {t_bf/t_i8:.2f}x")
+        results[name] = {"bf16_qps": round(QB / t_bf, 0),
+                         "int8_qps": round(QB / t_i8, 0),
+                         "speedup_x": round(t_bf / t_i8, 2)}
+    from ab_log import record
+    record("int8_retrieval_ab", {
+        **results,
+        "protocol": "in-jit fori delta, 5 interleaved reps, medians"})
 
 
 if __name__ == "__main__":

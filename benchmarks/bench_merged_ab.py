@@ -90,9 +90,16 @@ def main():
         dt = float(np.median(vals))
         out[tag] = dt
         print(f"{tag}: {dt*1e3:.2f} ms/step -> {B/dt:,.0f} samples/s")
+    deltas = {}
     for tag in ("merged", "stacked", "merged_stacked"):
         delta = (out[tag] - out["four_calls"]) / out["four_calls"] * 100
+        deltas[tag] = round(delta, 1)
         print(f"{tag} vs four-call: {delta:+.1f}%")
+    from ab_log import record
+    record("merged_paths_ab", {
+        "samples_per_s": {t: round(B / v, 1) for t, v in out.items()},
+        "vs_four_calls_pct": deltas,
+        "protocol": "in-jit fori delta, 5 interleaved reps, medians"})
 
 
 if __name__ == "__main__":

@@ -83,6 +83,15 @@ def main():
         qps = run_wave(256, "steady")
         print(f'{{"metric": "serving_requests_per_sec", "value": '
               f'{qps:.1f}, "unit": "req/s (tunnel lower bound)"}}')
+        if not args.tiny:
+            sys.path.insert(0, str(Path(__file__).resolve().parent))
+            from ab_log import record
+            record("serving_qps", {
+                "steady_req_per_s": round(qps, 1),
+                "stats": eng.stats(),
+                "protocol": "256 requests, concurrent submitters; "
+                            "TUNNEL-dominated lower bound (per-batch D2H "
+                            "costs ~300 ms on this link)"})
         eng.close()
 
 

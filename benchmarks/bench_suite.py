@@ -421,6 +421,40 @@ def write_markdown(out: dict) -> None:
             "",
         ]
 
+    # Measured A/B decisions (each bench_*_ab.py records its outcome via
+    # benchmarks/ab_log.record; this renders whatever has been measured)
+    ab = REPO / "benchmarks" / "ab_results.json"
+    if ab.exists():
+        entries = json.loads(ab.read_text())
+
+        def _cells(d):
+            for k, v in d.items():
+                if k in ("date", "protocol", "stats"):
+                    continue
+                if isinstance(v, dict):
+                    inner = " ".join(f"{ik}={iv:g}" if isinstance(
+                        iv, (int, float)) else f"{ik}={iv}"
+                        for ik, iv in v.items())
+                    yield f"{k}: {inner}"
+                elif isinstance(v, (int, float)):
+                    yield f"{k}={v:g}"
+                else:
+                    yield f"{k}={v}"
+
+        lines += [
+            "## Measured A/B results (benchmarks/ab_results.json)",
+            "",
+            "Recorded by the bench_*_ab.py scripts (same-process "
+            "interleaved reps, medians — the house protocol). These "
+            "justify each optimization flag's default.",
+            "",
+            "| A/B | Date | Result |",
+            "|---|---|---|",
+        ] + [
+            f"| {name} | {e.get('date', '?')} | {'; '.join(_cells(e))} |"
+            for name, e in sorted(entries.items())
+        ] + [""]
+
     # Multi-chip projection (hardware here is one chip; semantics verified
     # on the 8-device virtual mesh instead of measured)
     step_ms = 256_000.0 / out["fusion_train_samples_per_sec"]

@@ -84,6 +84,13 @@ def main():
         print(f"{tag}: {dt*1e3:.2f} ms/batch{B} -> {B/dt:,.0f} img/s")
     delta = (out["fused"] - out["einsum"]) / out["einsum"] * 100
     print(f"fused vs einsum: {delta:+.1f}%")
+    from ab_log import record
+    record("swin_fused_attn_ab", {
+        "einsum_img_per_s": round(B / out["einsum"], 1),
+        "fused_img_per_s": round(B / out["fused"], 1),
+        "fused_vs_einsum_pct": round(delta, 1),
+        "protocol": f"in-jit fori delta, {args.reps} interleaved reps, "
+                    "medians"})
 
 
 if __name__ == "__main__":

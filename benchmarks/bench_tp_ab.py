@@ -83,6 +83,13 @@ def main():
         print(f"{tag}: {dt*1e3:.2f} ms/step -> {B/dt:,.0f} samples/s")
     delta = (out["tp_shardmap"] - out["dp_fused"]) / out["dp_fused"] * 100
     print(f"shard_map wrapper overhead: {delta:+.1f}%")
+    from ab_log import record
+    record("tp_shardmap_ab", {
+        "dp_fused_samples_per_s": round(B / out["dp_fused"], 1),
+        "tp_shardmap_samples_per_s": round(B / out["tp_shardmap"], 1),
+        "overhead_pct": round(delta, 1),
+        "protocol": "degenerate 1x1 mesh, in-jit fori delta, "
+                    "interleaved reps, medians"})
 
 
 if __name__ == "__main__":
