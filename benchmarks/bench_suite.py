@@ -127,9 +127,12 @@ def main():
     print(f"fusion train: {dt*1e3:.2f} ms/step -> {B/dt:,.0f} samples/s",
           file=sys.stderr)
     # analytic MFU: FLOPs of a Pallas-free twin of the SAME step (the jnp
-    # attention/MLP paths price identical matmul work)
+    # attention/MLP paths price identical matmul work). dropout=0 keeps
+    # the fused Pallas dropout kernel out of the twin too (it can't lower
+    # for the CPU cost model and adds no matmul FLOPs anyway).
     jnp_cfg = TrainConfig(model=ModelConfig(fused_attn=False,
-                                            compute_dtype="bfloat16"),
+                                            compute_dtype="bfloat16",
+                                            dropout=0.0),
                           batch_size=B)
     jnp_step = make_raw_step(jnp_cfg, trainer.optimizer)
     fstep = analytic_flops(lambda s_, b_: jnp_step(s_, b_)[0], state, batch)
@@ -173,14 +176,18 @@ def main():
     results["deberta_embeddings_per_sec"] = TB / dt
     print(f"deberta encode: {dt*1e3:.2f} ms/batch{TB} -> {TB/dt:,.0f} seq/s",
           file=sys.stderr)
-    dcfg_j = _dc.replace(dcfg, fused_attn=False)
-    fenc = analytic_flops(
-        lambda p, i, m: D.deberta_encode(p, dcfg_j, i, m),
-        dparams, dids, mask)
-    if fenc:
-        results["deberta_mfu_pct"] = 100.0 * fenc / dt / PEAK_BF16
-        print(f"deberta MFU: {results['deberta_mfu_pct']:.1f}%",
-              file=sys.stderr)
+    # Kernel-true FLOPs in closed form. The jnp twin is NOT a fair
+    # numerator here: its one-hot positional selection is two extra
+    # (T,2T)x(2T,T) matmuls per head per layer that the Pallas kernel
+    # replaces with zero-MAC diagonal rolls — XLA's cost model counted
+    # them and reported a nonsense 143.9% "MFU". Real matmuls per layer:
+    # qkv+out proj 8TD^2, MLP 16TD^2, scores+context 4T^2D, c2p+p2c
+    # positional q/k @ pos-table matmuls 8T^2D (tables are (2T, dh)).
+    Tq, Dh, L = 512, dcfg.hidden_size, dcfg.num_layers
+    fenc = TB * L * (24 * Tq * Dh**2 + 12 * Tq**2 * Dh)
+    results["deberta_mfu_pct"] = 100.0 * fenc / dt / PEAK_BF16
+    print(f"deberta MFU: {results['deberta_mfu_pct']:.1f}% "
+          f"(kernel-true FLOPs, closed form)", file=sys.stderr)
 
     # ---- 3. image encoder -----------------------------------------------
     from mmd_tpu.models import vit as V
