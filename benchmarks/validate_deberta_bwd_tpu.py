@@ -2,9 +2,10 @@
 
 tests/test_deberta_bwd.py proves the math in interpret mode; this script
 proves the Mosaic compile + execution on hardware (the inverse diagonal
-roll — per-row lane shift -(T+1+i), expressed as a tpu.dynamic_gather
-lane permutation because Mosaic cannot lower a stride-(2T-1) rotate —
-is the one construct the fwd kernel doesn't already exercise).
+roll — per-row lane shift -(T+1+i), built as the stride-(+1) roll
+conjugated with MXU exchange-matrix row reversals because Mosaic lowers
+neither a stride-(2T-1) rotate nor a 2T-lane dynamic gather nor lax.rev
+— is the one construct the fwd kernel doesn't already exercise).
 
 Protocol: TPU dots truncate f32 inputs to bf16 at default precision, so
 the TPU jnp path is NOT ground truth.  Both TPU paths are measured

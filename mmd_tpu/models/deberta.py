@@ -363,40 +363,56 @@ def _deberta_attn_bwd_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
         dk_h = jax.lax.dot_general(ds_t, qh, (((2,), (1,)), ((0,), (0,))),
                                    preferred_element_type=f32)
 
-        # -- positional terms: pad the (.., T) cotangent to 2T lanes and
-        # invert the diagonal roll.  The inverse needs per-row lane shift
-        # -(T+1+i), i.e. stride 2T-1 — Mosaic's strided rotate only lowers
-        # small strides ("max shift in a vreg ... larger than the vreg's
-        # width"), so express the permutation as a lane-axis dynamic
-        # gather instead: dc2p[i, m] = ds_pad[i, (m + T+1+i) mod 2T].
-        # take_along_axis(axis=1) on a 2D value lowers to
-        # tpu.dynamic_gather (one VPU pass, no extra MACs).
+        # -- positional terms: invert the fwd's diagonal roll on the padded
+        # cotangent, dc2p[i, m] = ds_pad[i, (m + T+1+i) mod 2T].  Mosaic
+        # lowers NEITHER a stride-(2T-1) rotate ("max shift in a vreg >
+        # width 128": within-vreg variation must stay under 8*stride <=
+        # 128) NOR a 2T-lane dynamic gather ("multiple source vregs along
+        # gather dimension") NOR lax.rev — so conjugate the SUPPORTED
+        # stride-(+1) roll with a row reversal done on the MXU via the
+        # exchange matrix J (J[i, r] = [i + r == T-1]):
+        #     dc2p = R(w),  w = roll(concat([R(ds), 0]), shift=0, stride=1)
+        # (per final row i the shift composes to -(T+1+i) mod 2T), and the
+        # OUTER R folds into the consuming matmuls for free: contraction
+        # over lanes gives R(w) @ PK = R(w @ PK) (reverse the narrow
+        # result), contraction over rows pairs w with R(q)/R(k) instead.
+        # Net extra MXU work ~0.7 GFLOP/program vs ~6 VPU gather passes.
         if h0 == 0:
-            row = jax.lax.broadcasted_iota(jnp.int32, (gb * t, n2), 0) % t
-            lane = jax.lax.broadcasted_iota(jnp.int32, (gb * t, n2), 1)
-            inv_idx = (lane + t + 1 + row) % n2
+            ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+            jrev = (ii + rr == t - 1).astype(f32)
+
+        def _rev_rows(x):                     # (GB, T, X): row i <- T-1-i
+            outs = [jax.lax.dot_general(jrev, x[bb],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=f32)
+                    for bb in range(gb)]
+            return (outs[0][None] if gb == 1
+                    else jnp.stack(outs, axis=0))
+
         zpad = jnp.zeros((gb, t, t), f32)
 
-        def _inv_roll(x):                                  # (GB, T, 2T)
-            flat = x.reshape(gb * t, n2)
-            out = jnp.take_along_axis(flat, inv_idx, axis=1,
-                                      mode="promise_in_bounds")
-            return out.reshape(gb, t, n2)
+        def _inv_roll_rev(x):                 # (GB, T, T) -> w; dc2p = R(w)
+            xr = jnp.concatenate([_rev_rows(x), zpad], axis=2)
+            return pltpu.roll(xr, shift=0, axis=2, stride=1, stride_axis=1)
 
-        dc2p = _inv_roll(jnp.concatenate([ds, zpad], axis=2))
-        dp2c = _inv_roll(jnp.concatenate([ds_t, zpad], axis=2))
-        dq_h = dq_h + jax.lax.dot_general(
-            dc2p, pkh, (((2,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        dk_h = dk_h + jax.lax.dot_general(
-            dp2c, pqh, (((2,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        # table grads: contract over (GB, T) rows -> (2T, dh), accumulated
+        w_c2p = _inv_roll_rev(ds)                          # (GB, T, 2T)
+        w_p2c = _inv_roll_rev(ds_t)
+        dq_h = dq_h + _rev_rows(jax.lax.dot_general(
+            w_c2p, pkh, (((2,), (0,)), ((), ())),
+            preferred_element_type=f32))
+        dk_h = dk_h + _rev_rows(jax.lax.dot_general(
+            w_p2c, pqh, (((2,), (0,)), ((), ())),
+            preferred_element_type=f32))
+        # table grads: contract over (GB, T) rows -> (2T, dh), accumulated;
+        # rows of w are reversed, so pair them with row-reversed q/k
+        rqh = _rev_rows(qh.astype(f32))
+        rkh = _rev_rows(kh.astype(f32))
         dpk_h = jax.lax.dot_general(
-            dc2p.reshape(gb * t, n2), qh.astype(f32).reshape(gb * t, dh),
+            w_c2p.reshape(gb * t, n2), rqh.reshape(gb * t, dh),
             (((0,), (0,)), ((), ())), preferred_element_type=f32)
         dpq_h = jax.lax.dot_general(
-            dp2c.reshape(gb * t, n2), kh.astype(f32).reshape(gb * t, dh),
+            w_p2c.reshape(gb * t, n2), rkh.reshape(gb * t, dh),
             (((0,), (0,)), ((), ())), preferred_element_type=f32)
 
         dq_ref[:, :, cols] = dq_h.astype(dq_ref.dtype)

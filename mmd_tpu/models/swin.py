@@ -69,8 +69,10 @@ class SwinConfig:
     # head-packed (every Swinv2-base stage has dh = 32 -> 4 heads per
     # matmul), scores/softmax/context in VMEM. Output-equal to the einsum
     # path; engages per block when the geometry qualifies (dh >= 32,
-    # 128 % dh == 0, 64-token windows).
-    fused_attn: bool = False
+    # 128 % dh == 0, 64-token windows). Default ON: measured 883 ->
+    # 1,203 img/s (-26.6% time) on v5e in benchmarks/bench_swin_ab.py
+    # (2026-08-18, 5 interleaved reps, medians — ab_results.json).
+    fused_attn: bool = True
     # jax.checkpoint each block across the backward (fine-tuning memory
     # lever: only stage activations stay resident; the window partitions,
     # cosine-attention intermediates, and 4x-MLP hidden recompute per
