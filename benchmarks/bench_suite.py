@@ -220,8 +220,12 @@ def main():
     results["swin_embeddings_per_sec"] = SB / dt
     print(f"swin encode: {dt*1e3:.2f} ms/batch{SB} -> {SB/dt:,.0f} img/s",
           file=sys.stderr)
+    # price FLOPs on the einsum twin: fused_attn defaults True now and the
+    # Pallas kernel can't lower for the CPU cost model; the einsum path is
+    # the same useful math (no extra selection matmuls, unlike DeBERTa)
+    scfg_j = _dc.replace(scfg, fused_attn=False)
     fsw = analytic_flops(
-        lambda p, x: SW.swin_forward(p, scfg, x), sparams, simgs)
+        lambda p, x: SW.swin_forward(p, scfg_j, x), sparams, simgs)
     if fsw:
         results["swin_mfu_pct"] = 100.0 * fsw / dt / PEAK_BF16
         print(f"swin MFU: {results['swin_mfu_pct']:.1f}%", file=sys.stderr)
