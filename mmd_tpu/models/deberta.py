@@ -47,14 +47,16 @@ class DebertaConfig:
                                      # (B, T, D) block boundaries across the
                                      # backward (fine-tuning memory lever;
                                      # exact same grads, ~1 extra forward)
-    fused_train: bool = False        # keep the Pallas kernel when FINE-
+    fused_train: bool = True         # keep the Pallas kernel when FINE-
                                      # TUNING: the hand-derived backward
                                      # kernel (_deberta_attn_bwd_kernel)
-                                     # serves the VJP. Interpret-validated
-                                     # vs the jnp path; opt-in until the
-                                     # real-TPU Mosaic compile is verified
-                                     # (trainer gates DeBERTa to jnp paths
-                                     # in finetune unless this is set)
+                                     # serves the VJP. TPU-validated vs a
+                                     # CPU f32 oracle (benchmarks/
+                                     # DEBERTA_BWD_TPU_VALIDATION.json) and
+                                     # measured +27% on the fine-tuning
+                                     # step (ab_results.json
+                                     # deberta_fused_train_ab: 278 -> 381
+                                     # samples/s, 2026-08-18)
 
     @property
     def pos_ebd_size(self) -> int:

@@ -80,9 +80,11 @@ class SwinConfig:
     remat: bool = False
     # keep the fused window-attention kernel when FINE-TUNING: its
     # hand-derived Pallas backward (ops/swin_attention._bwd_kernel)
-    # serves the VJP, CPB grads included. Interpret-validated
-    # (tests/test_swin_bwd.py); opt-in until the real-TPU compile is
-    # verified (the trainer gates fused_attn off in finetune otherwise).
+    # serves the VJP, CPB grads included. TPU-validated vs a CPU f32
+    # oracle (benchmarks/SWIN_BWD_TPU_VALIDATION.json) and
+    # interpret-validated (tests/test_swin_bwd.py); still opt-in until a
+    # fine-tune perf A/B justifies the default (the trainer gates
+    # fused_attn off in finetune otherwise).
     fused_train: bool = False
 
     def __post_init__(self):

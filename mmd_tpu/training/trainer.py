@@ -293,12 +293,15 @@ def make_finetune_raw_step(cfg: TrainConfig, enc,
                 else enc.text_cfg)
     vit_cfg = (_dc.replace(enc.vit_cfg, remat=True) if cfg.remat
                else enc.vit_cfg)
-    # The DeBERTa disentangled-attention and Swin window Pallas kernels
-    # are FORWARD-ONLY (serving paths, no custom_vjp) — differentiating
-    # through them would fail at trace time on TPU, so fine-tuning routes
-    # those two families to their jnp paths. The BERT-class flash
-    # attention and fused MLP keep their kernels (full fwd+bwd VJPs,
-    # ops/attention.py:508-549, ops/mlp.py:206-227).
+    # Every hot kernel has a backward. BERT-class flash attention and the
+    # fused MLP always keep their kernels (full fwd+bwd VJPs,
+    # ops/attention.py:508-549, ops/mlp.py:206-227). The DeBERTa
+    # disentangled-attention and Swin window kernels have hand-derived
+    # Pallas backwards gated by cfg.fused_train: DeBERTa defaults ON
+    # (TPU-validated + measured +27%/step, ab_results.json
+    # deberta_fused_train_ab); Swin's bwd is TPU-validated
+    # (SWIN_BWD_TPU_VALIDATION.json) but defaults OFF pending its own
+    # fine-tune perf A/B — fused_train=False falls back to the jnp path.
     from mmd_tpu.models.deberta import DebertaConfig as _DBC
     from mmd_tpu.models.swin import SwinConfig as _SWC
     if (isinstance(text_cfg, _DBC) and text_cfg.fused_attn
