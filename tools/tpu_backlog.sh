@@ -52,6 +52,9 @@ TMO=1800 run deberta_bwd  python benchmarks/validate_deberta_bwd_tpu.py
 TMO=2400 run deberta_ft_ab python benchmarks/bench_deberta_ft_ab.py
 # same for the Swin window-attention backward (SwinConfig.fused_train)
 TMO=1800 run swin_bwd     python benchmarks/validate_swin_bwd_tpu.py
+# ...and what it buys end-to-end (run after swin_bwd passes; flip
+# SwinConfig.fused_train's default on a clear win)
+TMO=2400 run swin_ft_ab   python benchmarks/bench_swin_ft_ab.py
 TMO=5400 run pipeline    python -m mmd_tpu.pipelines.run_all \
     --synthetic 35000 --image_size 256 --reference_encoders \
     --timings_json benchmarks/pipeline_timings.json \
