@@ -76,27 +76,57 @@ def main():
                 np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
         return out
 
+    def cos_sims(g, ref):
+        out = {}
+        for (path, a), (_, b) in zip(jtu.tree_flatten_with_path(g)[0],
+                                     jtu.tree_flatten_with_path(ref)[0]):
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            out[jtu.keystr(path)] = float(
+                (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+        return out
+
     err_fused = rel_errs(gf, gc)
     err_einsum = rel_errs(gj, gc)
+    cos_fused = cos_sims(gf, gc)
+    cos_einsum = cos_sims(gj, gc)
     worst_f = max(err_fused.values())
     worst_j = max(err_einsum.values())
     # Per-leaf: the kernel may not be categorically worse than the XLA
     # path anywhere (2x headroom + a 5e-3 absolute floor for leaves where
     # the einsum path happens to be exact).
     bad = {k: (err_fused[k], err_einsum[k]) for k in err_fused
-           if err_fused[k] > max(5e-3, 2.0 * err_einsum[k])}
-    ok = not bad and np.isfinite(worst_f)
+           if not (err_fused[k] <= max(5e-3, 2.0 * err_einsum[k]))}
+    # Absolute supplement (advisor r4): cosine vs the CPU oracle is
+    # direction-sensitive and ~1.0 for any correct path regardless of
+    # elementwise bf16 noise — require each fused leaf to reach 0.98 or
+    # at least the einsum path's own cosine.
+    bad_cos = {k: (cos_fused[k], cos_einsum[k]) for k in cos_fused
+               if not (cos_fused[k] >= min(0.98, cos_einsum[k]))}
+    # NaN anywhere must fail; NaN makes the comparisons above silently
+    # False (advisor r4) — check finiteness over ALL leaves of BOTH paths.
+    finite = (np.isfinite(list(err_fused.values())).all()
+              and np.isfinite(list(err_einsum.values())).all()
+              and np.isfinite(list(cos_fused.values())).all())
+    ok = not bad and not bad_cos and bool(finite)
     report = {
         "geometry": "64px p4 e128 depths(2,2) heads(4,8) w8",
-        "protocol": "both TPU paths vs CPU f32 oracle; pass iff fused "
-                    "<= max(5e-3, 2x einsum) per leaf",
+        "protocol": "both TPU paths vs CPU f32 oracle; pass iff per leaf "
+                    "fused rel-err <= max(5e-3, 2x einsum) AND fused "
+                    "cosine >= min(0.98, einsum cosine) AND all finite",
         "worst_fused_vs_cpu": worst_f,
         "worst_einsum_vs_cpu": worst_j,
+        "min_cosine_fused": min(cos_fused.values()),
+        "min_cosine_einsum": min(cos_einsum.values()),
         "leaves_fused_vs_cpu": {k: round(v, 8) for k, v in err_fused.items()},
         "leaves_einsum_vs_cpu": {k: round(v, 8)
                                  for k, v in err_einsum.items()},
+        "cos_fused_vs_cpu": {k: round(v, 8) for k, v in cos_fused.items()},
         "failing_leaves": {k: [round(f, 8), round(j, 8)]
                            for k, (f, j) in bad.items()},
+        "failing_cosine_leaves": {k: [round(f, 8), round(j, 8)]
+                                  for k, (f, j) in bad_cos.items()},
+        "all_finite": bool(finite),
         "pass": bool(ok),
     }
     (REPO / "benchmarks" / "SWIN_BWD_TPU_VALIDATION.json").write_text(

@@ -39,22 +39,8 @@ class ModelConfig:
     # Compute dtype for matmuls/attention. Params stay float32; layernorm and
     # softmax accumulate in float32 either way.
     compute_dtype: str = "bfloat16"
-    # Merge the four evidence-path attentions into TWO kernel calls: paths
-    # sharing evidence K/V (t<-t with i<-t over E_t; t<-i with i<-i over
-    # E_i) concatenate their queries along T (padded to the 128-lane
-    # boundary), so each evidence K/V is streamed from HBM once instead of
-    # twice and half the kernel launches disappear. Identical math per
-    # path (rows of a non-causal attention are independent); dropout masks
-    # differ from the unmerged layout (one rng per merged call).
-    merged_paths: bool = False
-    # Run the four per-path classifier heads (shared (D -> hidden -> C)
-    # shapes, model.py:240-347) as ONE batch-stacked GEMM pair instead of
-    # four sequential 2-layer MLPs: weights stack to (4, D, H)/(4, H, C)
-    # and the pooled inputs to (4, B, D), so the XLA tail pays one batched
-    # matmul pair fwd+bwd instead of eight tiny GEMMs. Identical math;
-    # dropout masks differ from the unstacked layout (one draw per stacked
-    # tensor). OFF until the TPU A/B (bench_merged_ab --stacked_heads).
-    stacked_heads: bool = False
+    # (merged_paths / stacked_heads variants were measured at -8.2% / +0.3%
+    # on TPU — deleted round 5; see BENCHMARKS.md merged_paths_ab.)
     # Megatron-style tensor parallelism over the mesh "model" axis
     # (parallel/tp.py). Trainer(tensor_parallel=True) sets this, shards
     # params/optimizer state by the TP specs, and passes the mesh down so
@@ -135,9 +121,12 @@ class TrainConfig:
     remat: bool = False
     # Device-input pipelining: while step i runs, the NEXT batch's
     # host->device transfer is already in flight (training/loop.py
-    # prefetch_to_device). Depth 0 = current behavior (shard at use);
-    # depth k keeps k batches queued on device. Numerics-neutral.
-    prefetch_depth: int = 0
+    # prefetch_to_device). Depth 0 = no pipelining (shard at use);
+    # depth k keeps k batches queued on device. Numerics-neutral
+    # (losses bit-identical, tests/test_remat.py). Default ON at depth 2
+    # since round 5: measured 2.47x wall-clock on the synthetic drive
+    # (BENCHMARKS.md train_prefetch_ab).
+    prefetch_depth: int = 2
 
 
 def add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -239,7 +228,7 @@ def train_config_from_args(args: argparse.Namespace) -> TrainConfig:
         resume_from=args.resume_from,
         accum_steps=getattr(args, "accum_steps", 1),
         remat=getattr(args, "remat", False),
-        prefetch_depth=getattr(args, "prefetch_depth", 0),
+        prefetch_depth=getattr(args, "prefetch_depth", 2),
     )
 
 

@@ -325,6 +325,11 @@ def _deberta_attn_bwd_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
         dpq_ref[:] = jnp.zeros_like(dpq_ref)
 
     f32 = jnp.float32
+    # Loop-invariant exchange matrix J (J[i, r] = [i + r == T-1]) used by
+    # _rev_rows in every head iteration — built once, outside the loop.
+    ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    jrev = (ii + rr == t - 1).astype(f32)
     for h0 in range(num_heads):
         cols = slice(h0 * dh, (h0 + 1) * dh)
         qh = q[:, :, cols]
@@ -379,11 +384,6 @@ def _deberta_attn_bwd_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
         # over lanes gives R(w) @ PK = R(w @ PK) (reverse the narrow
         # result), contraction over rows pairs w with R(q)/R(k) instead.
         # Net extra MXU work ~0.7 GFLOP/program vs ~6 VPU gather passes.
-        if h0 == 0:
-            ii = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-            rr = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-            jrev = (ii + rr == t - 1).astype(f32)
-
         def _rev_rows(x):                     # (GB, T, X): row i <- T-1-i
             outs = [jax.lax.dot_general(jrev, x[bb],
                                         (((1,), (0,)), ((), ())),

@@ -237,52 +237,9 @@ def _evidence_conditioning(
                                       or tp_mesh is not None),
             tp_mesh=tp_mesh if cfg.tensor_parallel else None)
 
-    if (cfg.merged_paths and H_t is not None and H_i is not None
-            and E_t is not None and E_i is not None):
-        # One kernel per evidence modality: [tQ; iQ] rows attend the shared
-        # K/V together (query rows of a non-causal attention are
-        # independent), so E_t/E_i K/V stream from HBM once. Padding to the
-        # 128 boundary keeps the strip-seeded dropout geometry legal.
-        tt, ti = tQ.shape[1], iQ.shape[1]
-        pad = (-(tt + ti)) % 128
-        parts = [tQ, iQ]
-        if pad:
-            parts.append(jnp.zeros((tQ.shape[0], pad, tQ.shape[2]), tQ.dtype))
-        q_cat = jnp.concatenate(parts, axis=1)
-        ctx_et = attn_core(q_cat, etK, etV)
-        ctx_ei = attn_core(q_cat, eiK, eiV)
-
-        def pair(H, ctx_a, name_a, ctx_b, name_b, mlp_name):
-            """Two paths sharing one claim rep AND one MLP: the per-path
-            out-projections run as ONE batch-stacked GEMM (weights stack
-            to (2, D, D); bias-add in f32 matches L.linear bit-for-bit),
-            then ONE batch-stacked MLP call serves both (same weights) —
-            half the GEMM launches of the unmerged layout."""
-            b = H.shape[0]
-            wo = jnp.stack([p[f"{name_a}_out"]["w"],
-                            p[f"{name_b}_out"]["w"]]).astype(dtype)
-            bo = jnp.stack([p[f"{name_a}_out"]["b"],
-                            p[f"{name_b}_out"]["b"]]).astype(jnp.float32)
-            ctx = jnp.stack([ctx_a, ctx_b]).astype(dtype)
-            s2 = jnp.einsum("pbtd,pde->pbte", ctx, wo,
-                            preferred_element_type=jnp.float32)
-            s2 = (s2 + bo[:, None, None]).astype(dtype)
-            sa = L.layernorm(p[f"{name_a}_ln1"], H + s2[0])
-            sb = L.layernorm(p[f"{name_b}_ln1"], H + s2[1])
-            m = L.mlp(p[mlp_name], jnp.concatenate([sa, sb], axis=0),
-                      cfg.dropout, rngs(), deterministic, dtype,
-                      fused_ok=not cfg.tensor_parallel or tp_mesh is not None,
-                      tp_mesh=tp_mesh if cfg.tensor_parallel else None)
-            return (L.layernorm(p[f"{name_a}_ln2"], sa + m[:b]),
-                    L.layernorm(p[f"{name_b}_ln2"], sb + m[b:]))
-
-        S_t_t, S_t_i = pair(H_t, ctx_et[:, :tt], "text_text",
-                            ctx_ei[:, :tt], "text_image", "text_mlp")
-        S_i_t, S_i_i = pair(H_i, ctx_et[:, tt:tt + ti], "image_text",
-                            ctx_ei[:, tt:tt + ti], "image_image",
-                            "image_mlp")
-        return (S_t_t, S_t_i), (S_i_t, S_i_i)
-
+    # NOTE: a merged two-kernel variant (shared-K/V paths with concatenated
+    # queries) was built and measured at -8.2% on TPU (BENCHMARKS.md
+    # merged_paths_ab, round 4) — deleted; keep the four separate paths.
     def path(H, Q, K, V, name, mlp_name):
         return finish(H, attn_core(Q, K, V), name, mlp_name)
 
@@ -317,31 +274,8 @@ def _classify(p: dict, cfg: ModelConfig, S_t, S_i, rngs: _Rngs, deterministic, d
         return out.astype(jnp.float32)
 
     (S_t_t, S_t_i), (S_i_t, S_i_i) = S_t, S_i
-    names = ("mlp_text_given_text", "mlp_text_given_image",
-             "mlp_image_given_text", "mlp_image_given_image")
-    paths = (S_t_t, S_t_i, S_i_t, S_i_i)
-    if cfg.stacked_heads and all(s is not None for s in paths):
-        # One batched GEMM pair over all four heads (they share the
-        # (D -> hidden -> C) shapes): x (4, B, D), w1 (4, D, H),
-        # w2 (4, H, C). Same math as four head_apply calls; only the
-        # dropout draw pattern differs (one mask over the stacked
-        # hidden instead of four).
-        x = jnp.stack([pool(s) for s in paths])
-        w1 = jnp.stack([p[n]["fc0"]["w"] for n in names]).astype(dtype)
-        b1 = jnp.stack([p[n]["fc0"]["b"] for n in names]).astype(dtype)
-        w2 = jnp.stack([p[n]["fc1"]["w"] for n in names]).astype(dtype)
-        b2 = jnp.stack([p[n]["fc1"]["b"] for n in names]).astype(dtype)
-        # bias-add in f32 then cast, matching L.linear bit-for-bit
-        h = jnp.einsum("pbd,pdh->pbh", x, w1,
-                       preferred_element_type=jnp.float32)
-        h = (h + b1[:, None].astype(jnp.float32)).astype(dtype)
-        h = L.dropout(jax.nn.relu(h), cfg.dropout, rngs(), deterministic,
-                      fused_ok=fd_ok)
-        y = jnp.einsum("pbh,phc->pbc", h, w2,
-                       preferred_element_type=jnp.float32)
-        y = (y + b2[:, None].astype(jnp.float32)).astype(dtype)
-        return ((y[0].astype(jnp.float32), y[1].astype(jnp.float32)),
-                (y[2].astype(jnp.float32), y[3].astype(jnp.float32)))
+    # NOTE: a batch-stacked four-heads-as-one-GEMM variant measured +0.3%
+    # (noise) on TPU (BENCHMARKS.md merged_paths_ab, round 4) — deleted.
     return (
         (head("mlp_text_given_text", S_t_t), head("mlp_text_given_image", S_t_i)),
         (head("mlp_image_given_text", S_i_t), head("mlp_image_given_image", S_i_i)),

@@ -231,35 +231,5 @@ def test_param_count_matches_analytic():
     assert m.param_count(p) == rep + cross + heads
 
 
-def test_stacked_heads_match_unstacked(rng):
-    """stacked_heads=True (one batched GEMM pair over the four classifier
-    heads) is the same math as four sequential head_apply calls — weights
-    stack, bias-adds stay in f32, outputs unstack per path."""
-    cfg = _cfg(stacked_heads=False)
-    cfg_s = _cfg(stacked_heads=True)
-    model = MisinformationDetectionModel(cfg)
-    params = model.init(jax.random.key(0))
-    x = _inputs(rng)
-    (a_tt, a_ti), (a_it, a_ii) = model.apply(params, *x)
-    (b_tt, b_ti), (b_it, b_ii) = MisinformationDetectionModel(cfg_s).apply(
-        params, *x)
-    for a, b in ((a_tt, b_tt), (a_ti, b_ti), (a_it, b_it), (a_ii, b_ii)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-6, atol=1e-7)
-
-
-def test_merged_paths_match_unmerged(rng):
-    """merged_paths=True (two shared-K/V attention calls with concatenated,
-    128-padded queries) is the SAME math as the four separate path
-    attentions — padding rows are sliced away before the out-projections."""
-    cfg = _cfg(merged_paths=False)
-    cfg_m = _cfg(merged_paths=True)
-    model = MisinformationDetectionModel(cfg)
-    params = model.init(jax.random.key(0))
-    x = _inputs(rng)
-    (a_tt, a_ti), (a_it, a_ii) = model.apply(params, *x)
-    model_m = MisinformationDetectionModel(cfg_m)
-    (b_tt, b_ti), (b_it, b_ii) = model_m.apply(params, *x)
-    for a, b in ((a_tt, b_tt), (a_ti, b_ti), (a_it, b_it), (a_ii, b_ii)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-5, atol=2e-6)
+# (stacked_heads / merged_paths equality tests removed round 5 with the
+# variants themselves — both measured as losers on TPU, see BENCHMARKS.md.)

@@ -32,7 +32,6 @@ TMO=900  run graft_entry python __graft_entry__.py
 TMO=1200 run bench       python bench.py
 TMO=3600 run suite       python benchmarks/bench_suite.py
 TMO=1800 run swin_ab     python benchmarks/bench_swin_ab.py
-TMO=2400 run merged_ab   python benchmarks/bench_merged_ab.py
 TMO=1800 run tp_ab       python benchmarks/bench_tp_ab.py
 TMO=1200 run train_drive python train.py --synthetic_samples 512 --epochs 2 \
     --log_every 4 --output_dir "$LOGDIR/train_run"

@@ -25,7 +25,6 @@ run() {
 
 TMO=3600 run suite        python benchmarks/bench_suite.py
 TMO=1800 run swin_ab      python benchmarks/bench_swin_ab.py
-TMO=2400 run merged_ab    python benchmarks/bench_merged_ab.py
 TMO=1800 run deberta_bwd  python benchmarks/validate_deberta_bwd_tpu.py
 TMO=2400 run deberta_ft_ab python benchmarks/bench_deberta_ft_ab.py
 TMO=1800 run swin_bwd     python benchmarks/validate_swin_bwd_tpu.py
