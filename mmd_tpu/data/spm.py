@@ -228,6 +228,13 @@ class PrecompiledCharsmap:
         return self._pool[off:end].decode("utf-8")
 
     def normalize(self, text: str) -> str:
+        try:
+            from mmd_tpu.native.bindings import charsmap_normalize
+            native = charsmap_normalize(self.blob, str(text))
+            if native is not None:
+                return native
+        except Exception:
+            pass
         data = text.encode("utf-8")
         out: list[str] = []
         i, n = 0, len(data)
@@ -442,9 +449,38 @@ class UnigramTokenizer:
             types = types + [1] * (len(pair) + 1)
         return ids[:max_length], types[:max_length]
 
+    def _get_native(self):
+        """Lazily-attached C++ Viterbi encoder (native/spm.cpp); None when
+        the lib isn't built — callers fall back to the Python loop."""
+        if not hasattr(self, "_native"):
+            try:
+                from mmd_tpu.native.bindings import NativeSpm
+                self._native = NativeSpm(
+                    self.pieces, self.unk_id, self.pad_id, self.cls_id,
+                    self.sep_id, self.unk_score)
+            except Exception:
+                self._native = None
+        return self._native
+
     def encode_batch(self, texts: Sequence[str],
                      pairs: Optional[Sequence[str]] = None,
                      max_length: int = 512):
+        if pairs is None:
+            native = self._get_native()
+            if native is not None:
+                # normalization + metaspace stay in Python (NFKC /
+                # charsmap); the Viterbi + layout hot loop runs in C++
+                prepared = []
+                ok = True
+                for t in texts:
+                    s = self.normalize(t)
+                    s = METASPACE + s.replace(" ", METASPACE) if s else ""
+                    if "\x00" in s:          # NUL would break the blob
+                        ok = False
+                        break
+                    prepared.append(s)
+                if ok:
+                    return native.encode_batch(prepared, max_length)
         b = len(texts)
         out = np.full((b, max_length), self.pad_id, np.int32)
         mask = np.zeros((b, max_length), np.int32)

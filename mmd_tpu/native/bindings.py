@@ -99,6 +99,101 @@ class NativeTokenizer:
 
 
 # ---------------------------------------------------------------------------
+# SentencePiece-unigram (Viterbi) encoder + charsmap normalizer
+# ---------------------------------------------------------------------------
+
+
+class NativeSpm:
+    """Batch SPM-unigram encoder backed by libmmdspm.so.
+
+    Exact parity with data/spm.py::UnigramTokenizer for no-pair batches:
+    the caller normalizes + metaspaces each text in Python, this runs the
+    byte-trie Viterbi, unk-fusing, and [CLS]/[SEP]/pad layout in C++.
+    """
+
+    def __init__(self, pieces, unk_id: int, pad_id: int, cls_id: int,
+                 sep_id: int, unk_score: float):
+        lib = _load("libmmdspm.so", auto_build=True)
+        if lib is None:
+            raise RuntimeError("libmmdspm.so not built (make -C mmd_tpu/native)")
+        lib.mmdspm_create.restype = ctypes.c_void_p
+        lib.mmdspm_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), _I32P,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double]
+        lib.mmdspm_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, _I32P, _I32P, _I32P]
+        lib.mmdspm_destroy.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        blob = b"\x00".join(p.encode("utf-8") for p, _, _ in pieces) + b"\x00"
+        scores = np.ascontiguousarray([s for _, s, _ in pieces], np.float64)
+        types = np.ascontiguousarray([t for _, _, t in pieces], np.int32)
+        self._handle = lib.mmdspm_create(
+            blob, len(blob), scores.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)),
+            types.ctypes.data_as(_I32P), len(pieces),
+            unk_id, pad_id, cls_id, sep_id, unk_score)
+        if not self._handle:
+            raise RuntimeError("mmdspm_create failed")
+
+    def encode_batch(self, prepared_texts: Sequence[str], max_length: int):
+        """prepared_texts: already normalized + metaspace'd ("" = empty)."""
+        n = len(prepared_texts)
+        payload = b"\x00".join(t.encode("utf-8")
+                               for t in prepared_texts) + b"\x00"
+        ids = np.empty((n, max_length), np.int32)
+        mask = np.empty((n, max_length), np.int32)
+        types = np.empty((n, max_length), np.int32)
+        self._lib.mmdspm_encode_batch(
+            self._handle, payload, len(payload), n, max_length,
+            ids.ctypes.data_as(_I32P), mask.ctypes.data_as(_I32P),
+            types.ctypes.data_as(_I32P))
+        return ids, mask, types
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.mmdspm_destroy(self._handle)
+        except Exception:
+            pass
+
+
+_spm_lib: Optional[ctypes.CDLL] = None
+_spm_checked = False
+
+
+def charsmap_normalize(blob: bytes, text: str) -> Optional[str]:
+    """Native precompiled-charsmap normalization; None when the lib is
+    unavailable (caller falls back to the Python byte loop)."""
+    global _spm_lib, _spm_checked
+    if not _spm_checked:
+        _spm_checked = True
+        lib = _load("libmmdspm.so", auto_build=True)
+        if lib is not None:
+            lib.mmdspm_charsmap_normalize.restype = ctypes.c_int64
+            lib.mmdspm_charsmap_normalize.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+            _spm_lib = lib
+    if _spm_lib is None:
+        return None
+    data = text.encode("utf-8")
+    cap = max(64, 4 * len(data))
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        n = _spm_lib.mmdspm_charsmap_normalize(
+            blob, len(blob), data, len(data), out, cap)
+        if n == -1:
+            cap *= 2
+            continue
+        if n < 0:
+            return None  # corrupt blob: fall back to the Python path
+        return out.raw[:n].decode("utf-8")
+
+
+# ---------------------------------------------------------------------------
 # Row gather
 # ---------------------------------------------------------------------------
 

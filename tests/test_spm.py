@@ -251,3 +251,49 @@ def test_frozen_resolver_prefers_spm_vocab(tmp_path):
     ids, mask, types = enc.tokenizer.encode_batch(
         ["hello world", "the dog"], max_length=32)
     assert ids.shape == (2, 32) and mask.sum() > 4
+
+
+def test_native_viterbi_matches_python():
+    """libmmdspm.so (native/spm.cpp byte-trie Viterbi + layout) is
+    bit-identical to the Python encoder on the fixture set, including
+    unicode, unknown fusion, empties, and truncation."""
+    from mmd_tpu.native.bindings import build
+
+    if not build():
+        pytest.skip("native toolchain unavailable")
+    tok = UnigramTokenizer(make_pieces())
+    if tok._get_native() is None:
+        pytest.skip("libmmdspm.so failed to load")
+    pytok = UnigramTokenizer(make_pieces())
+    pytok._native = None
+    texts = FIXTURES + ["x" * 900, "café " * 300, "☃" * 40]
+    for max_len in (16, 512):
+        a = tok.encode_batch(texts, max_length=max_len)
+        b = pytok.encode_batch(texts, max_length=max_len)
+        for x, y, name in zip(a, b, ("ids", "mask", "types")):
+            np.testing.assert_array_equal(x, y, err_msg=name)
+
+
+def test_native_charsmap_matches_python():
+    """Native precompiled-charsmap normalization == the Python byte loop
+    (longest-prefix match, unmatched copy-through, multi-byte keys)."""
+    import mmd_tpu.native.bindings as B
+    from mmd_tpu.native.bindings import build, charsmap_normalize
+
+    if not build():
+        pytest.skip("native toolchain unavailable")
+    blob = build_charsmap({"A": "a", "ßß": "ss", "É": "e", "\t": " ",
+                           "abc": "xyz", "ab": "q"})
+    pc = PrecompiledCharsmap(blob)
+    texts = ["AÉßß\tx", "plain", "ÉÉÉ", "ßßß", "ß", "abcab", "ababc", ""]
+    for t in texts:
+        native = charsmap_normalize(blob, t)
+        if native is None:
+            pytest.skip("libmmdspm.so failed to load")
+        old_lib, old_checked = B._spm_lib, B._spm_checked
+        B._spm_lib, B._spm_checked = None, True
+        try:
+            py = pc.normalize(t)
+        finally:
+            B._spm_lib, B._spm_checked = old_lib, old_checked
+        assert native == py, t
