@@ -88,6 +88,7 @@ class ClaimVerificationPipeline:
         self.caption_engine = caption_engine
         self.index = evidence_index
         self.image_id_resolver = image_id_resolver or self._default_resolver
+        self._verify_cache: dict = {}
 
     @staticmethod
     def _default_resolver(path: str) -> Optional[str]:
@@ -163,6 +164,23 @@ class ClaimVerificationPipeline:
     def verify(self, claim_text: str, claim_image_path: Optional[str] = None,
                top_k: int = 5,
                top_k_image: Optional[int] = None) -> VerificationResult:
+        """Session-cached: repeat queries (streamlit reruns re-invoke the
+        whole page on every widget change) return the memoized result, the
+        role of the reference's @st.cache_data on its retrieve/caption
+        helpers (reference app.py:62-90)."""
+        key = (claim_text, claim_image_path, top_k, top_k_image)
+        cached = self._verify_cache.get(key)
+        if cached is not None:
+            return cached
+        result = self._verify_uncached(claim_text, claim_image_path, top_k,
+                                       top_k_image)
+        if len(self._verify_cache) >= 64:     # bound session memory
+            self._verify_cache.pop(next(iter(self._verify_cache)))
+        self._verify_cache[key] = result
+        return result
+
+    def _verify_uncached(self, claim_text, claim_image_path, top_k,
+                         top_k_image) -> VerificationResult:
         caption = self.caption_step(claim_image_path)
         claim_enriched = self.enrich_step(claim_text, caption)
         evidences = self.retrieve_text_step(claim_enriched, top_k)

@@ -60,21 +60,24 @@ def embed_csv(
     root = get_project_root()
 
     # params as explicit jit args (closed-over arrays become HLO constants
-    # and bloat the compile payload)
+    # and bloat the compile payload). ONE fused dispatch covers all four
+    # encodes: per-dispatch host latency is the tax on tunneled devices
+    # (round-5 probe: ~30-120 ms/forced sync), so 1 call/batch, not 4.
     @jax.jit
-    def _encode_text(params, ids, mask):
-        from mmd_tpu.models.frozen import text_encode
-        return text_encode(params, enc.text_cfg, ids, mask)
+    def _encode_all(tparams, vparams, c_ids, c_mask, d_ids, d_mask,
+                    c_u8, d_u8):
+        from mmd_tpu.models.frozen import image_encode, text_encode
+        dt = jnp.dtype(enc.vit_cfg.compute_dtype)
+        return (
+            text_encode(tparams, enc.text_cfg, c_ids, c_mask),
+            text_encode(tparams, enc.text_cfg, d_ids, d_mask),
+            image_encode(vparams, enc.vit_cfg,
+                         normalize_on_device(c_u8, TRAIN_TRANSFORM, dt)),
+            image_encode(vparams, enc.vit_cfg,
+                         normalize_on_device(d_u8, TRAIN_TRANSFORM, dt)),
+        )
 
-    @jax.jit
-    def _encode_image(params, u8):
-        from mmd_tpu.models.frozen import image_encode
-        x = normalize_on_device(u8, TRAIN_TRANSFORM,
-                                jnp.dtype(enc.vit_cfg.compute_dtype))
-        return image_encode(params, enc.vit_cfg, x)
-
-    encode_text = lambda ids, mask: _encode_text(enc.text_params, ids, mask)
-    encode_image = lambda u8: _encode_image(enc.vit_params, u8)
+    encode_all = lambda *a: _encode_all(enc.text_params, enc.vit_params, *a)
 
     store_path = store_path or store_path_for_csv(csv_path)
     writer = ArrayStoreWriter(
@@ -106,7 +109,8 @@ def embed_csv(
     transform = TRAIN_TRANSFORM if size == 256 else \
         __import__("dataclasses").replace(TRAIN_TRANSFORM, size=size)
 
-    for lo in range(start_row, len(df), batch_size):
+    def prep(lo):
+        """Host work for one batch: tokenize (native) + decode images."""
         rows = df.iloc[lo:lo + batch_size]
         n = len(rows)
 
@@ -135,18 +139,16 @@ def embed_csv(
                                                 transform, io_workers)
             d_imgs, d_ok = load_images_parallel(paths("evidence_image"),
                                                 transform, io_workers)
+        return (lo, rows, n, c_ok[:n] & d_ok[:n],
+                (c_ids, c_mask, d_ids, d_mask, c_imgs, d_imgs))
 
-        with stages.stage("text_encode", log=False):
-            ct = np.asarray(encode_text(c_ids, c_mask), np.float16)
-            dt = np.asarray(encode_text(d_ids, d_mask), np.float16)
-        with stages.stage("image_encode", log=False):
-            ci = np.asarray(encode_image(c_imgs), np.float16)
-            di = np.asarray(encode_image(d_imgs), np.float16)
-
+    def write_out(lo, rows, n, valid, outs):
+        """Pull one batch's embeddings D2H and append to the store."""
+        nonlocal skipped
+        with stages.stage("d2h_store", log=False):
+            ct, dt, ci, di = (np.asarray(o, np.float16) for o in outs)
         assert ct.shape == (batch_size, max_length, text_dim), ct.shape
         assert ci.shape == (batch_size, img_tokens, img_dim), ci.shape
-
-        valid = c_ok[:n] & d_ok[:n]
         skipped += int((~valid).sum())
         if valid.any():
             idx = np.nonzero(valid)[0]
@@ -161,6 +163,21 @@ def embed_csv(
             }, extra={"csv_cursor": lo + n})
         else:
             writer.update_extra(csv_cursor=lo + n)
+
+    # one-deep software pipeline: while batch i's encode runs on device,
+    # the host preps batch i+1 (tokenize + decode) BEFORE pulling i's
+    # results — device compute hides behind host prep instead of
+    # serializing after it
+    pending = None
+    for lo in range(start_row, len(df), batch_size):
+        lo_p, rows_p, n_p, valid_p, host = prep(lo)
+        with stages.stage("encode_dispatch", log=False):
+            outs = encode_all(*host)
+        if pending is not None:
+            write_out(*pending)
+        pending = (lo_p, rows_p, n_p, valid_p, outs)
+    if pending is not None:
+        write_out(*pending)
 
     writer.finalize()
     dt_s = time.time() - t0

@@ -77,6 +77,15 @@ def evaluate_store(store: ArrayStore, model_cfg: ModelConfig, fusion_params,
                    batch_size: int = 192, results_csv: Optional[str] = None,
                    num_classes: int = 3) -> dict:
     preds, labels = predict_store(store, model_cfg, fusion_params, batch_size)
+    return metrics_from_preds(preds, labels, results_csv=results_csv,
+                              num_classes=num_classes)
+
+
+def metrics_from_preds(preds: np.ndarray, labels: np.ndarray,
+                       results_csv: Optional[str] = None,
+                       num_classes: int = 3) -> dict:
+    """(N, P) preds/labels -> per-path + unified metric rows (+CSV append).
+    Shared by the store-based and the fused streaming eval paths."""
     rows = []
     metrics: dict = {}
 

@@ -1,0 +1,527 @@
+"""Device-centric fused pipeline: decode + upload each raw sample ONCE into
+device-resident banks, then run caption / retrieval-corpus build / training /
+eval from the banks with no further bulk host<->device traffic.
+
+Why this exists (measured, round 5): the staged pipeline — the reference's
+shape (preprocess_embeddings.py:11-116 materializes an h5 of embeddings,
+train.py:109-246 streams it back per epoch) — moves ~60-90 GB across the
+host<->device link for a 35k-row run (embeddings store D2H ~33 GB, train
+H2D ~27 GB/epoch, images uploaded once per consuming stage). On a
+bandwidth-starved host (the tunneled chip here measures ~30-40 MB/s each
+way, benchmarks/ab_results.json tunnel_transfer_probe) that traffic IS the
+88-minute wall clock. On TPU the frozen encoders are cheap: re-encoding
+25k rows costs ~60 s of device time per epoch. FLOPs are cheaper than
+bytes, so the fused flow
+
+  * uploads images exactly once (uint8, the minimal representation),
+  * recomputes frozen embeddings INSIDE the compiled train step (the raw
+    encoder-in-step path, equality-tested against the pre-embedded path in
+    tests/test_raw_training.py), and
+  * never materializes the (N, 512, 384)+(N, 64, 1024) embedding tensors
+    on the host at all.
+
+The staged drivers (pipelines/embed.py, caption.py, ...) remain the parity
+path — and the right choice when the store must be shared across jobs or
+the host link is PCIe-fast.
+
+Single-device by design: the banks live in one chip's HBM. Multi-chip
+serving/training uses the sharded paths (parallel/, training/trainer.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+
+from mmd_tpu.data.labels import categories_to_label_array
+from mmd_tpu.data.schema import get_project_root
+from mmd_tpu.ops.image_ops import TRAIN_TRANSFORM, load_images_parallel
+
+BANK_COLS = ("claim_ids", "claim_mask", "doc_ids", "doc_mask",
+             "claim_image", "doc_image", "labels")
+
+
+@dataclasses.dataclass
+class DeviceBank:
+    """Capacity-padded device-resident raw sample bank for one split.
+
+    `data[col]` are device arrays with capacity >= n rows; rows past `n`
+    are zero padding and must never be indexed. Token/label columns mirror
+    pipelines/raw_store.py; image columns are TRAIN_TRANSFORM uint8."""
+
+    data: dict
+    n: int
+    ids: np.ndarray                 # (n,) int64 sample ids
+    claim_paths: list
+    doc_paths: list
+    skipped: int = 0
+
+    def free_images(self):
+        """Drop the image buffers (the bulk of the HBM footprint)."""
+        for col in ("claim_image", "doc_image"):
+            arr = self.data.pop(col, None)
+            if arr is not None:
+                arr.delete()
+
+
+_bank_write_fn = None
+
+
+def _bank_write(buf, chunk, start):
+    """Donated in-place chunk write: buf[start:start+chunk] = chunk.
+    One compile per (shape, dtype); start is traced."""
+    global _bank_write_fn
+    import jax
+    if _bank_write_fn is None:
+        def write(b, c, s):
+            idx = (s,) + (0,) * (b.ndim - 1)
+            return jax.lax.dynamic_update_slice(b, c, idx)
+        _bank_write_fn = jax.jit(write, donate_argnums=0)
+    return _bank_write_fn(buf, chunk, start)
+
+
+def ingest_split(
+    csv_path,
+    enc,
+    max_length: int = 512,
+    image_size: int = 256,
+    chunk: int = 256,
+    io_workers: int = 8,
+    sync_every: int = 8,
+    keep_images: bool = True,
+    on_chunk: Optional[Callable] = None,
+    root: Optional[Path] = None,
+) -> DeviceBank:
+    """Stream one CSV into a DeviceBank.
+
+    Host work (tokenize via the native encoder, PIL decode) runs while the
+    previous chunk's H2D transfer + donated bank write are still in flight
+    (dispatch is async); a cheap scalar pull every `sync_every` chunks
+    bounds the in-flight queue. Skip-and-count semantics match
+    pipelines/raw_store.py (both images must decode, reference
+    dataset.py:100-110).
+
+    With keep_images=False only tokens/labels are banked (images are
+    streamed to `on_chunk` and dropped) — used for the test split so the
+    train bank and models keep headroom in HBM.
+
+    on_chunk(images_dict, start_row, n_rows) is called after each chunk
+    lands, with DEVICE uint8 arrays {"claim": (chunk, S, S, 3), "doc": ...}
+    — the caption-overlap hook.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    df = pd.read_csv(csv_path)
+    root = Path(root) if root else get_project_root()
+    transform = (TRAIN_TRANSFORM if image_size == 256 else
+                 dataclasses.replace(TRAIN_TRANSFORM, size=image_size))
+    cap = len(df) + chunk
+
+    shapes = {
+        "claim_ids": ((max_length,), np.int32),
+        "claim_mask": ((max_length,), np.int32),
+        "doc_ids": ((max_length,), np.int32),
+        "doc_mask": ((max_length,), np.int32),
+        "labels": ((4,), np.int32),
+    }
+    if keep_images:
+        shapes["claim_image"] = ((image_size, image_size, 3), np.uint8)
+        shapes["doc_image"] = ((image_size, image_size, 3), np.uint8)
+    data = {col: jnp.zeros((cap, *shp), dt) for col, (shp, dt) in shapes.items()}
+
+    staging = {col: np.zeros((chunk, *shp), dt)
+               for col, (shp, dt) in shapes.items()}
+    if not keep_images:
+        staging["claim_image"] = np.zeros(
+            (chunk, image_size, image_size, 3), np.uint8)
+        staging["doc_image"] = np.zeros_like(staging["claim_image"])
+    staged = 0
+    cursor = 0
+    n_flushed = 0
+    skipped = 0
+    kept_ids: list = []
+    kept_claim_paths: list = []
+    kept_doc_paths: list = []
+
+    def abspaths(rows, col):
+        out = []
+        for p in rows[col]:
+            if isinstance(p, str) and p:
+                out.append(p if Path(p).is_absolute() else str(root / p))
+            else:
+                out.append(None)
+        return out
+
+    def flush():
+        nonlocal staged, cursor, n_flushed
+        if staged == 0:
+            return
+        start = jnp.int32(cursor)
+        imgs = {}
+        for col in staging:
+            dev_chunk = jax.device_put(staging[col], jax.devices()[0])
+            if col in data:
+                data[col] = _bank_write(data[col], dev_chunk, start)
+            if col in ("claim_image", "doc_image"):
+                imgs[col.split("_")[0]] = dev_chunk
+        if on_chunk is not None:
+            on_chunk(imgs, cursor, staged)
+        cursor += staged
+        staged = 0
+        n_flushed += 1
+        if n_flushed % sync_every == 0:
+            # real completion fence (block_until_ready lies on tunneled
+            # devices — CLAUDE.md): pull one scalar through the graph
+            float(jnp.sum(data["labels"][0]))
+
+    claim_col = "claim"
+    doc_col = "evidence"
+    for lo in range(0, len(df), chunk):
+        rows = df.iloc[lo:lo + chunk]
+        n = len(rows)
+        texts_c = rows[claim_col].fillna("").astype(str).tolist()
+        texts_d = rows[doc_col].fillna("").astype(str).tolist()
+        c_ids, c_mask, _ = enc.tokenizer.encode_batch(texts_c,
+                                                      max_length=max_length)
+        d_ids, d_mask, _ = enc.tokenizer.encode_batch(texts_d,
+                                                      max_length=max_length)
+        cpaths = abspaths(rows, "claim_image")
+        dpaths = abspaths(rows, "evidence_image")
+        c_img, c_ok = load_images_parallel(cpaths, transform, io_workers)
+        d_img, d_ok = load_images_parallel(dpaths, transform, io_workers)
+        valid = c_ok & d_ok
+        skipped += int((~valid).sum())
+        labels = categories_to_label_array(rows["category"].tolist())
+        idx = np.nonzero(valid)[0]
+        ids64 = rows["id"].to_numpy(np.int64)
+        pos = 0
+        while pos < len(idx):
+            take = min(chunk - staged, len(idx) - pos)
+            sel = idx[pos:pos + take]
+            sl = slice(staged, staged + take)
+            staging["claim_ids"][sl] = c_ids[sel]
+            staging["claim_mask"][sl] = c_mask[sel]
+            staging["doc_ids"][sl] = d_ids[sel]
+            staging["doc_mask"][sl] = d_mask[sel]
+            staging["labels"][sl] = labels[sel]
+            staging["claim_image"][sl] = c_img[sel]
+            staging["doc_image"][sl] = d_img[sel]
+            kept_ids.extend(ids64[sel])
+            kept_claim_paths.extend(cpaths[i] for i in sel)
+            kept_doc_paths.extend(dpaths[i] for i in sel)
+            staged += take
+            pos += take
+            if staged == chunk:
+                flush()
+    if staged:
+        # zero the unused tail so padding rows stay inert
+        for col in staging:
+            staging[col][staged:] = 0
+        flush()
+
+    return DeviceBank(data=data, n=cursor,
+                      ids=np.asarray(kept_ids, np.int64),
+                      claim_paths=kept_claim_paths,
+                      doc_paths=kept_doc_paths, skipped=skipped)
+
+
+# ---------------------------------------------------------------------------
+# Caption from device-resident images
+# ---------------------------------------------------------------------------
+
+
+class BankCaptioner:
+    """Streams caption generation over bank/ingest image chunks.
+
+    Dispatches are async (device token arrays are collected, pulled in
+    one pass at the end), so captioning overlaps ingest transfers when
+    used as the ingest on_chunk hook."""
+
+    def __init__(self, engine, batch: int = 64,
+                 bank_image_size: Optional[int] = None):
+        self.engine = engine
+        self.batch = batch
+        self._pending: list = []          # (kind, start, n, device tokens)
+        cap_size = engine.cfg.vit.image_size
+        if bank_image_size is not None and bank_image_size != cap_size:
+            import jax
+            import jax.numpy as jnp
+
+            @jax.jit
+            def _resize(u8):
+                x = jax.image.resize(
+                    u8.astype(jnp.float32),
+                    (u8.shape[0], cap_size, cap_size, 3), "bilinear")
+                return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+
+            self._gen = lambda imgs: engine._gen(_resize(imgs))
+        else:
+            self._gen = lambda imgs: engine._gen(imgs)
+
+    def on_chunk(self, imgs: dict, start: int, n: int):
+        b = self.batch
+        for kind in ("claim", "doc"):
+            arr = imgs[kind]
+            for lo in range(0, n, b):
+                hi = min(lo + b, n)
+                block = arr[lo:lo + b]        # device slice, padded shape ok
+                toks = self._gen(block)
+                self._pending.append((kind, start + lo, hi - lo, toks))
+
+    def collect(self, n_rows: int) -> tuple:
+        """Pull + decode all pending captions -> (claim_caps, doc_caps)."""
+        caps = {"claim": [""] * n_rows, "doc": [""] * n_rows}
+        tok = self.engine.tokenizer
+        for kind, start, n, toks in self._pending:
+            arr = np.asarray(toks)
+            for j in range(n):
+                if start + j < n_rows:
+                    caps[kind][start + j] = tok.decode(arr[j])
+        self._pending.clear()
+        return caps["claim"], caps["doc"]
+
+
+def write_enriched_csv(df: pd.DataFrame, bank_ids: np.ndarray,
+                       claim_caps, doc_caps, out_csv: Path):
+    """Write {split}_enriched.csv with the reference's 4 columns
+    (caption.py:34-47 semantics); rows skipped at ingest keep NA captions."""
+    df = df.copy()
+    for col in ("claim_image_caption", "evidence_image_caption",
+                "claim_enriched", "evidence_enriched"):
+        df[col] = pd.NA
+    by_id = {int(i): k for k, i in enumerate(bank_ids)}
+    cc_col = df.columns.get_loc("claim_image_caption")
+    for ridx, rid in enumerate(df["id"]):
+        k = by_id.get(int(rid))
+        if k is None:
+            continue
+        cc, ec = claim_caps[k], doc_caps[k]
+        df.iat[ridx, cc_col] = cc
+        df.iat[ridx, cc_col + 1] = ec
+        df.iat[ridx, cc_col + 2] = (f"{df.at[ridx, 'claim']}. {cc}"
+                                    if cc else str(df.at[ridx, "claim"]))
+        df.iat[ridx, cc_col + 3] = (f"{df.at[ridx, 'evidence']}. {ec}"
+                                    if ec else str(df.at[ridx, "evidence"]))
+    df.to_csv(out_csv, index=False)
+    return out_csv
+
+
+# ---------------------------------------------------------------------------
+# Train / eval over banks
+# ---------------------------------------------------------------------------
+
+
+def make_bank_window(cfg, enc, steps_per_call: int):
+    """One compiled call scanning `steps_per_call` raw-path train steps,
+    each gathering its batch ON DEVICE from the resident bank (idx is the
+    only per-call H2D: (K, B) int32). Encoders run frozen inside the step
+    (training/trainer.py make_encoding_raw_step)."""
+    import jax
+
+    from mmd_tpu.training.trainer import make_encoding_raw_step, make_optimizer
+
+    raw = make_encoding_raw_step(cfg, enc, make_optimizer(cfg))
+
+    def window_fn(state, frozen, data, idx):
+        import jax.numpy as jnp
+
+        def body(st, i):
+            batch = {k: jnp.take(data[k], i, axis=0) for k in BANK_COLS}
+            st, aux = raw(st, frozen, batch)
+            return st, {"loss": aux["loss"], "preds": aux["preds"],
+                        "labels": aux["labels"]}
+        return jax.lax.scan(body, state, idx)
+
+    return jax.jit(window_fn, donate_argnums=(0,))
+
+
+def train_from_bank(trainer, bank: DeviceBank, steps_per_call: int = 8,
+                    log_every: int = 50, logger=None):
+    """Epochs of globally-shuffled windows over the bank. Returns state."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = trainer.cfg
+    enc = trainer.encoders
+    window = make_bank_window(cfg, enc, steps_per_call)
+    state = trainer.init()
+    frozen = {"text": enc.text_params, "vit": enc.vit_params}
+    b, k = cfg.batch_size, steps_per_call
+    rng = np.random.default_rng(cfg.seed)
+    step = 0
+    t0 = time.time()
+    samples = 0
+    for epoch in range(cfg.epochs):
+        perm = rng.permutation(bank.n)
+        usable = (len(perm) // (b * k)) * b * k
+        windows = perm[:usable].reshape(-1, k, b).astype(np.int32)
+        for w in windows:
+            state, aux = window(state, frozen, bank.data, jnp.asarray(w))
+            step += k
+            samples += b * k
+            if step % log_every < k:
+                loss = float(np.asarray(aux["loss"])[-1])
+                dt = time.time() - t0
+                rate = samples / max(dt, 1e-9)
+                msg = {"train/total_loss": loss,
+                       "train/samples_per_sec": rate}
+                if logger is not None:
+                    logger.log(msg, step=step)
+                print(f"[fused-train] step {step} loss {loss:.4f} "
+                      f"{rate:.0f} samples/s")
+                samples, t0 = 0, time.time()
+        # ragged tail: fold leftover rows into the next epoch's shuffle
+        # (window-quantized epochs; the reference drops ragged tails of
+        # its DataLoader batches the same way)
+    return state
+
+
+def make_bank_predict(model_cfg, enc):
+    """Compiled raw-path inference: gather rows from (possibly image-free)
+    column dict, encode frozen, fusion forward, argmax -> (B, P) preds."""
+    import jax
+
+    def predict_fn(fusion_params, frozen, batch):
+        import jax.numpy as jnp
+
+        from mmd_tpu.models.frozen import image_encode, text_encode
+        from mmd_tpu.models.fusion import fusion_forward
+        from mmd_tpu.ops.image_ops import normalize_on_device
+
+        dtype = jnp.dtype(model_cfg.compute_dtype)
+        text = lambda ids, mask: text_encode(frozen["text"], enc.text_cfg,
+                                             ids, mask)
+        image = lambda u8: image_encode(
+            frozen["vit"], enc.vit_cfg,
+            normalize_on_device(u8, TRAIN_TRANSFORM, dtype))
+        out = fusion_forward(
+            fusion_params, model_cfg,
+            text(batch["claim_ids"], batch["claim_mask"]),
+            image(batch["claim_image"]),
+            text(batch["doc_ids"], batch["doc_mask"]),
+            image(batch["doc_image"]),
+            deterministic=True)
+        if model_cfg.factify or model_cfg.text_only:
+            logits, _ = out
+            return jnp.argmax(logits, -1)[:, None]
+        (y_tt, y_ti), (y_it, y_ii) = out
+        return jnp.argmax(jnp.stack([y_tt, y_ti, y_it, y_ii], 1), -1)
+
+    return jax.jit(predict_fn)
+
+
+def evaluate_streaming(csv_path, enc, model_cfg, fusion_params,
+                       batch_size: int = 64, image_size: int = 256,
+                       max_length: int = 512, io_workers: int = 8,
+                       results_csv=None, root=None):
+    """Raw-path eval: stream test images per batch (never bank-resident),
+    tokenize on host, predict on device. Produces the same per-path +
+    unified metric rows as pipelines/eval_models.evaluate_store."""
+    import jax
+
+    from mmd_tpu.pipelines.eval_models import metrics_from_preds
+
+    df = pd.read_csv(csv_path)
+    root = Path(root) if root else get_project_root()
+    transform = (TRAIN_TRANSFORM if image_size == 256 else
+                 dataclasses.replace(TRAIN_TRANSFORM, size=image_size))
+    predict = make_bank_predict(model_cfg, enc)
+    frozen = {"text": enc.text_params, "vit": enc.vit_params}
+    preds, labels = [], []
+    for lo in range(0, len(df), batch_size):
+        rows = df.iloc[lo:lo + batch_size]
+        n = len(rows)
+        pad = batch_size - n
+        texts_c = rows["claim"].fillna("").astype(str).tolist() + [""] * pad
+        texts_d = rows["evidence"].fillna("").astype(str).tolist() + [""] * pad
+        c_ids, c_mask, _ = enc.tokenizer.encode_batch(texts_c,
+                                                      max_length=max_length)
+        d_ids, d_mask, _ = enc.tokenizer.encode_batch(texts_d,
+                                                      max_length=max_length)
+
+        def paths(col):
+            out = []
+            for p in rows[col]:
+                if isinstance(p, str) and p:
+                    out.append(p if Path(p).is_absolute() else str(root / p))
+                else:
+                    out.append(None)
+            return out + [None] * pad
+
+        c_img, c_ok = load_images_parallel(paths("claim_image"), transform,
+                                           io_workers)
+        d_img, d_ok = load_images_parallel(paths("evidence_image"), transform,
+                                           io_workers)
+        valid = (c_ok & d_ok)[:n]
+        batch = {"claim_ids": c_ids, "claim_mask": c_mask,
+                 "doc_ids": d_ids, "doc_mask": d_mask,
+                 "claim_image": c_img, "doc_image": d_img}
+        p = np.asarray(predict(fusion_params, frozen, batch))[:n][valid]
+        l = categories_to_label_array(rows["category"].tolist())[valid]
+        preds.append(p)
+        labels.append(l)
+    preds = np.concatenate(preds)
+    labels = np.concatenate(labels)
+    return metrics_from_preds(preds, labels, results_csv=results_csv)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval corpora from the bank
+# ---------------------------------------------------------------------------
+
+
+def build_image_corpus_from_bank(bank: DeviceBank, root: Path,
+                                 tiny: bool = False, batch: int = 64,
+                                 assets="assets/encoders"):
+    """ResNet feature corpus from the bank's device-resident evidence
+    images: 256 -> 224 resize + RESNET_TRANSFORM normalization ON DEVICE
+    (the staged path host-decodes at 224 — pixel-identical only up to the
+    resize chain; ids are the ORIGINAL evidence image paths, so demo
+    lookups behave the same)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmd_tpu.models.resnet import (RESNET_TEST, ResNetConfig, init_resnet,
+                                       resnet_features)
+    from mmd_tpu.ops.image_ops import RESNET_TRANSFORM
+    from mmd_tpu.retrieval.image import ImageCorpus
+
+    cfg = RESNET_TEST if tiny else ResNetConfig()
+    resnet_params = None
+    ckpt = Path(assets) / "resnet50.ckpt"
+    if not tiny and ckpt.exists():
+        from mmd_tpu.core.checkpoint import load_params
+        resnet_params = load_params(str(ckpt))
+    if resnet_params is None:
+        resnet_params = init_resnet(jax.random.key(7), cfg)
+
+    size = RESNET_TRANSFORM.size
+    mean = jnp.asarray(RESNET_TRANSFORM.mean, jnp.float32) * 255.0
+    std = jnp.asarray(RESNET_TRANSFORM.std, jnp.float32) * 255.0
+
+    @jax.jit
+    def feat_fn(params, data, start):
+        u8 = jax.lax.dynamic_slice(
+            data["doc_image"], (start, 0, 0, 0),
+            (batch, *data["doc_image"].shape[1:]))
+        x = (u8.astype(jnp.float32) - mean) / std
+        x = jax.image.resize(x, (batch, size, size, 3), "bilinear")
+        return resnet_features(params, x.astype(jnp.bfloat16), cfg)
+
+    feats = []
+    for lo in range(0, bank.n, batch):
+        feats.append(np.asarray(
+            feat_fn(resnet_params, bank.data, jnp.int32(lo)), np.float16))
+    features = np.concatenate(feats)[:bank.n] if feats else \
+        np.zeros((0, cfg.feature_dim), np.float16)
+    corpus = ImageCorpus(root / "data" / "retrieval" / "image_corpus",
+                         resnet_params=resnet_params, cfg=cfg)
+    corpus.write_feature_corpus(features, [str(p) for p in bank.doc_paths])
+    return corpus

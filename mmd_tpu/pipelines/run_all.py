@@ -45,6 +45,18 @@ def main():
     p.add_argument("--timings_json", type=str, default=None,
                    help="dump per-stage wall-clock timings (plus row "
                         "counts) as JSON for BENCHMARKS.md")
+    p.add_argument("--fused", action="store_true",
+                   help="device-centric fused flow (pipelines/fused.py): "
+                        "images cross the host<->device link ONCE into "
+                        "resident banks; frozen embeddings recompute "
+                        "inside the train step instead of materializing "
+                        "(the TPU-first path for bandwidth-starved hosts)")
+    p.add_argument("--train_batch", type=int, default=64,
+                   help="fused train/eval batch (raw-path sweet spot)")
+    p.add_argument("--steps_per_call", type=int, default=8,
+                   help="fused: train steps scanned per dispatch")
+    p.add_argument("--chunk", type=int, default=256,
+                   help="fused: ingest chunk rows (H2D granularity)")
     args = p.parse_args()
 
     from mmd_tpu.core.profiling import Stages
@@ -87,6 +99,9 @@ def main():
                  + df["evidence"].fillna("").astype(str).tolist())
         enc = load_or_init_frozen(assets, vocab_texts=texts, tiny=args.tiny,
                                   reference_families=args.reference_encoders)
+
+    if args.fused:
+        return _run_fused(args, stages, root, train_csv, test_csv, enc)
 
     # 2. caption enrichment
     from mmd_tpu.models.captioner import CAPTIONER_TEST
@@ -156,6 +171,13 @@ def main():
                               if "unified" in k})
 
     # 7. demo verification of one claim
+    _demo_verify(args, stages, root, enc, engine, model, state.params,
+                 text_corpora, image_corpus, test_csv, bs)
+    _write_timings(args, stages, enc, len(train_store), len(test_store))
+
+
+def _demo_verify(args, stages, root, enc, engine, model, fusion_params,
+                 text_corpora, image_corpus, test_csv, bs):
     from mmd_tpu.demo.pipeline import ClaimVerificationPipeline, EvidenceIndex
     from mmd_tpu.inference.predictor import MisinformationPredictor
     from mmd_tpu.retrieval.text import SemanticSearch
@@ -167,7 +189,7 @@ def main():
         search = SemanticSearch(text_corpora[0], text_corpora,
                                 evidence_lookup=index.text_lookup())
         predictor = MisinformationPredictor(
-            model, fusion_params=state.params, encoders=enc,
+            model, fusion_params=fusion_params, encoders=enc,
             batch_size=min(bs, 16))
         pipe = ClaimVerificationPipeline(
             predictor, text_search=search, image_corpus=image_corpus,
@@ -180,22 +202,111 @@ def main():
     print(f"[run_all] demo verdict for test row 0: "
           f"{result.final_classification} "
           f"({len(result.evidences)} evidences, caption={result.caption!r})")
+
+
+def _write_timings(args, stages, enc, n_train, n_test):
     print(stages.report())
-    if args.timings_json:
-        import json
-        import time as _time
-        doc = {
-            "date": _time.strftime("%Y-%m-%d"),
-            "args": {k: v for k, v in vars(args).items()},
-            "n_train_rows": int(len(train_store)),
-            "n_test_rows": int(len(test_store)),
-            "text_encoder": type(enc.text_cfg).__name__,
-            "image_encoder": type(enc.vit_cfg).__name__,
-            "stages_sec": {k: round(v, 2)
-                           for k, v in stages.summary().items()},
-        }
-        Path(args.timings_json).write_text(json.dumps(doc, indent=1))
-        print(f"[run_all] timings -> {args.timings_json}")
+    if not args.timings_json:
+        return
+    import json
+    import time as _time
+    doc = {
+        "date": _time.strftime("%Y-%m-%d"),
+        "args": {k: v for k, v in vars(args).items()},
+        "n_train_rows": int(n_train),
+        "n_test_rows": int(n_test),
+        "text_encoder": type(enc.text_cfg).__name__,
+        "image_encoder": type(enc.vit_cfg).__name__,
+        "stages_sec": {k: round(v, 2) for k, v in stages.summary().items()},
+    }
+    Path(args.timings_json).write_text(json.dumps(doc, indent=1))
+    print(f"[run_all] timings -> {args.timings_json}")
+
+
+def _run_fused(args, stages, root, train_csv, test_csv, enc):
+    """Device-centric flow (pipelines/fused.py): one image upload into
+    resident banks; caption overlaps ingest; train/eval run the raw
+    encoder-in-step path with on-device batch gathers."""
+    from mmd_tpu.core.mesh import require_tpu
+    require_tpu()
+    import jax
+
+    from mmd_tpu.core.config import ModelConfig, TrainConfig
+    from mmd_tpu.core.mesh import make_mesh
+    from mmd_tpu.models.captioner import CAPTIONER_TEST
+    from mmd_tpu.pipelines import fused as F
+    from mmd_tpu.pipelines.caption import CaptionEngine
+    from mmd_tpu.training.trainer import Trainer
+
+    image_size = enc.vit_cfg.image_size
+    cap_batch = 8 if args.tiny else 64
+    chunk = max(args.chunk, cap_batch)
+    chunk -= chunk % cap_batch            # caption slices must tile chunks
+    engine = CaptionEngine(enc.tokenizer,
+                           cfg=CAPTIONER_TEST if args.tiny else None,
+                           batch_size=cap_batch)
+    train_capt = F.BankCaptioner(engine, batch=cap_batch,
+                                 bank_image_size=image_size)
+    test_capt = F.BankCaptioner(engine, batch=cap_batch,
+                                bank_image_size=image_size)
+
+    with stages.stage("ingest"):
+        bank = F.ingest_split(train_csv, enc, image_size=image_size,
+                              chunk=chunk, on_chunk=train_capt.on_chunk,
+                              root=root)
+        test_bank = F.ingest_split(test_csv, enc, image_size=image_size,
+                                   chunk=chunk, keep_images=False,
+                                   on_chunk=test_capt.on_chunk, root=root)
+    print(f"[run_all] fused ingest: train {bank.n} rows "
+          f"({bank.skipped} skipped), test {test_bank.n} rows "
+          f"({test_bank.skipped} skipped)")
+
+    with stages.stage("caption"):
+        pre = root / "data" / "preprocessed"
+        cc, dc = train_capt.collect(bank.n)
+        F.write_enriched_csv(pd.read_csv(train_csv), bank.ids, cc, dc,
+                             pre / "train_enriched.csv")
+        tcc, tdc = test_capt.collect(test_bank.n)
+        F.write_enriched_csv(pd.read_csv(test_csv), test_bank.ids, tcc, tdc,
+                             pre / "test_enriched.csv")
+
+    from mmd_tpu.pipelines.build_retrieval import build_text_corpora
+    with stages.stage("retrieval_build"):
+        text_corpora = build_text_corpora(
+            ["train", "test"], enc.tokenizer, root, tiny=args.tiny,
+            batch_size=max(args.batch_size, 64))
+        image_corpus = F.build_image_corpus_from_bank(bank, root,
+                                                      tiny=args.tiny)
+
+    model = ModelConfig(
+        text_input_dim=enc.text_cfg.hidden_size,
+        image_input_dim=enc.vit_cfg.hidden_size,
+        embed_dim=args.embed_dim if not args.tiny else 32,
+        num_heads=8 if not args.tiny else 4,
+        hidden_dim=64 if not args.tiny else 16,
+        fused_attn=jax.default_backend() == "tpu")
+    bs = min(args.train_batch, max(bank.n // 2, 1))
+    k = max(1, min(args.steps_per_call, bank.n // max(bs, 1)))
+    cfg = TrainConfig(model=model, batch_size=bs, epochs=args.epochs,
+                      lr=1e-3, output_dir=str(root / "results"),
+                      save_every=0, log_every=50)
+    trainer = Trainer(cfg, make_mesh(), encoders=enc)
+    with stages.stage("train"):
+        state = F.train_from_bank(trainer, bank, steps_per_call=k,
+                                  log_every=cfg.log_every)
+
+    with stages.stage("eval"):
+        metrics = F.evaluate_streaming(
+            test_csv, enc, model, state.params, batch_size=bs,
+            image_size=image_size,
+            results_csv=str(root / "results" / "eval.csv"), root=root)
+    print("[run_all] eval:", {k_: round(v, 3) for k_, v in metrics.items()
+                              if "unified" in k_})
+
+    bank.free_images()                    # HBM headroom for the demo path
+    _demo_verify(args, stages, root, enc, engine, model, state.params,
+                 text_corpora, image_corpus, test_csv, bs)
+    _write_timings(args, stages, enc, bank.n, test_bank.n)
 
 
 if __name__ == "__main__":

@@ -84,6 +84,21 @@ class ImageCorpus:
         print(f"[im2im] corpus built: {len(kept)} images, {skipped} skipped")
         return len(kept)
 
+    def write_feature_corpus(self, features: np.ndarray, ids) -> int:
+        """Persist precomputed features (the fused pipeline computes them
+        from device-resident banks; same on-disk layout as
+        create_feature_corpus)."""
+        features = np.asarray(features, np.float16)
+        writer = ArrayStoreWriter(
+            self.dir, capacity=max(len(features), 1),
+            columns={"features": ((self.cfg.feature_dim,), np.float16)})
+        if len(features):
+            writer.append_batch({"features": features})
+        writer.finalize()
+        (self.dir / "ids.json").write_text(json.dumps(list(map(str, ids))))
+        print(f"[im2im] corpus written: {len(features)} precomputed features")
+        return len(features)
+
     # -- query -----------------------------------------------------------
 
     def _load(self):

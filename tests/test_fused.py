@@ -1,0 +1,168 @@
+"""Fused device-centric pipeline (pipelines/fused.py): bank ingest parity
+with the raw store, caption overlap hooks, on-device batch-gather training
+equality with the plain raw step, streaming eval, and bank-built corpora."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mmd_tpu.data.synthetic import synthetic_factify_tree
+
+
+@pytest.fixture(scope="module")
+def froot(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fused_factify")
+    synthetic_factify_tree(root, n_train=24, n_test=8, seed=3)
+    os.environ["MMD_TPU_ROOT"] = str(root)
+    yield root
+    os.environ.pop("MMD_TPU_ROOT", None)
+
+
+@pytest.fixture(scope="module")
+def setup(froot):
+    import pandas as pd
+
+    from mmd_tpu.models.frozen import load_or_init_frozen
+    from mmd_tpu.pipelines.preprocess import preprocess_csv
+
+    train_csv = preprocess_csv("train", froot)
+    test_csv = preprocess_csv("test", froot)
+    df = pd.read_csv(train_csv)
+    texts = df["claim"].astype(str).tolist() + df["evidence"].astype(str).tolist()
+    enc = load_or_init_frozen(froot / "assets", vocab_texts=texts,
+                              vocab_size=512, tiny=True)
+    return train_csv, test_csv, enc
+
+
+@pytest.fixture(scope="module")
+def bank(setup, froot):
+    from mmd_tpu.pipelines.fused import ingest_split
+
+    train_csv, _, enc = setup
+    return ingest_split(train_csv, enc, image_size=enc.vit_cfg.image_size,
+                        chunk=8, root=froot)
+
+
+def test_ingest_matches_raw_store(setup, bank, froot):
+    """Bank rows == pipelines/raw_store.py rows (same tokenize, same
+    decode, same skip-and-count), modulo the capacity padding."""
+    from mmd_tpu.pipelines.raw_store import build_raw_store
+
+    train_csv, _, enc = setup
+    store = build_raw_store(str(train_csv), enc.tokenizer,
+                            image_size=enc.vit_cfg.image_size, batch_size=8,
+                            store_path=str(froot / "rawref.store"))
+    assert bank.n == len(store)
+    assert bank.skipped + bank.n == 24
+    for col in ("claim_ids", "doc_mask", "claim_image", "doc_image",
+                "labels"):
+        ref = store.col(col)[:]
+        got = np.asarray(bank.data[col])[:bank.n]
+        np.testing.assert_array_equal(got, ref, err_msg=col)
+    np.testing.assert_array_equal(bank.ids, store.col("id")[:])
+
+
+def test_bank_window_equals_plain_raw_steps(setup, bank):
+    """K scanned bank-gather steps == K sequential raw steps on the same
+    host batches (the on-device jnp.take gather changes nothing). Fused is
+    single-device by design, so a 1-device mesh (the banks live in one
+    chip's HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmd_tpu.core.config import DataConfig, ModelConfig, TrainConfig
+    from mmd_tpu.core.mesh import make_mesh
+    from mmd_tpu.pipelines.fused import BANK_COLS, make_bank_window
+    from mmd_tpu.training.trainer import Trainer
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    _, _, enc = setup
+    model = ModelConfig(
+        text_input_dim=enc.text_cfg.hidden_size,
+        image_input_dim=enc.vit_cfg.hidden_size,
+        embed_dim=32, num_heads=4, hidden_dim=16, dropout=0.0,
+        compute_dtype="float32")
+    cfg = TrainConfig(model=model, batch_size=4, lr=1e-3, epochs=1,
+                      save_every=0, prefetch_depth=0,
+                      data=DataConfig(text_seq_len=512, image_seq_len=64))
+    trainer = Trainer(cfg, mesh1, encoders=enc)
+    state0 = trainer.init()
+
+    k, b = 2, 4
+    idx = np.arange(k * b, dtype=np.int32).reshape(k, b) % bank.n
+    window = make_bank_window(cfg, enc, k)
+    frozen = {"text": enc.text_params, "vit": enc.vit_params}
+    sw, auxw = window(state0, frozen, bank.data, jnp.asarray(idx))
+
+    state = trainer.init()
+    host = {c: np.asarray(bank.data[c])[:bank.n] for c in BANK_COLS}
+    for step in range(k):
+        batch = {c: host[c][idx[step]] for c in BANK_COLS}
+        state, aux = trainer.train_step(state, trainer.shard_batch(batch))
+        np.testing.assert_allclose(
+            float(np.asarray(auxw["loss"])[step]),
+            float(np.asarray(aux["loss"])), rtol=1e-5, atol=1e-6)
+    for a, bb in zip(__import__("jax").tree_util.tree_leaves(sw.params),
+                     __import__("jax").tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_caption_hook_and_enriched_csv(setup, froot):
+    import pandas as pd
+
+    from mmd_tpu.models.captioner import CAPTIONER_TEST
+    from mmd_tpu.pipelines.caption import CaptionEngine
+    from mmd_tpu.pipelines.fused import (BankCaptioner, ingest_split,
+                                         write_enriched_csv)
+
+    train_csv, _, enc = setup
+    engine = CaptionEngine(enc.tokenizer, cfg=CAPTIONER_TEST, batch_size=4)
+    capt = BankCaptioner(engine, batch=4,
+                         bank_image_size=enc.vit_cfg.image_size)
+    bank2 = ingest_split(train_csv, enc, image_size=enc.vit_cfg.image_size,
+                         chunk=8, keep_images=False,
+                         on_chunk=capt.on_chunk, root=froot)
+    assert "claim_image" not in bank2.data          # streamed, not banked
+    cc, dc = capt.collect(bank2.n)
+    assert len(cc) == bank2.n == len(dc)
+    out = write_enriched_csv(pd.read_csv(train_csv), bank2.ids, cc, dc,
+                             froot / "train_enriched_fused.csv")
+    df = pd.read_csv(out)
+    banked = df["id"].isin(set(map(int, bank2.ids)))
+    assert df.loc[banked, "claim_enriched"].notna().all()
+    assert df.loc[~banked, "evidence_image_caption"].isna().all()
+
+
+def test_streaming_eval_metrics(setup, froot):
+    import jax
+
+    from mmd_tpu.core.config import ModelConfig
+    from mmd_tpu.models.fusion import init_fusion_params
+    from mmd_tpu.pipelines.fused import evaluate_streaming
+
+    _, test_csv, enc = setup
+    model = ModelConfig(
+        text_input_dim=enc.text_cfg.hidden_size,
+        image_input_dim=enc.vit_cfg.hidden_size,
+        embed_dim=32, num_heads=4, hidden_dim=16, compute_dtype="float32")
+    params = init_fusion_params(jax.random.key(0), model)
+    metrics = evaluate_streaming(
+        test_csv, enc, model, params, batch_size=4,
+        image_size=enc.vit_cfg.image_size,
+        results_csv=str(froot / "eval_fused.csv"), root=froot)
+    assert "unified/accuracy" in metrics
+    assert (froot / "eval_fused.csv").exists()
+
+
+def test_image_corpus_from_bank(setup, bank, froot):
+    from mmd_tpu.pipelines.fused import build_image_corpus_from_bank
+
+    corpus = build_image_corpus_from_bank(bank, froot, tiny=True, batch=4)
+    assert len(corpus) == bank.n
+    assert len(corpus._ids) == bank.n
+    # ids are the original evidence image paths (demo lookup contract)
+    assert all(str(p).endswith(".jpg") for p in corpus._ids)
+    hits = corpus.retrieve_similar_images(bank.doc_paths[0], top_k=1)
+    assert hits
