@@ -53,9 +53,30 @@ def main():
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--platform", default="cpu", choices=["cpu", "native"],
                    help="cpu = 8-device virtual mesh (default, deterministic)")
-    p.add_argument("--out_md", default=str(REPO / "QUALITY.md"))
-    p.add_argument("--out_json", default=str(REPO / "benchmarks" / "QUALITY.json"))
+    p.add_argument("--out_md", default=None)
+    p.add_argument("--out_json", default=None)
+    p.add_argument("--fast", action="store_true",
+                   help="sanity tier for post-change re-runs: 128/32 rows, "
+                        "12 epochs, one FakeNet seed, ~10x faster than the "
+                        "canonical run on a 1-core host. Writes to "
+                        "QUALITY_FAST.md / QUALITY_FAST.json so the "
+                        "canonical numbers are never clobbered. Expected "
+                        "deltas vs the full tier: fusion/factify/text-only "
+                        "accuracies ~2-8 points lower (fewer epochs on "
+                        "fewer rows), retrieval top-k within ~2 points, "
+                        "prompting rows unchanged (protocol-bound).")
     args = p.parse_args()
+    if args.fast:
+        if args.root == "/tmp/mmd_quality":
+            args.root = "/tmp/mmd_quality_fast"   # never share a stale tree
+        args.n_train = min(args.n_train, 128)
+        args.n_test = min(args.n_test, 32)
+        args.epochs = min(args.epochs, 12)
+    tag = "_FAST" if args.fast else ""
+    if args.out_md is None:
+        args.out_md = str(REPO / f"QUALITY{tag}.md")
+    if args.out_json is None:
+        args.out_json = str(REPO / "benchmarks" / f"QUALITY{tag}.json")
 
     if args.platform == "cpu":
         flags = os.environ.get("XLA_FLAGS", "")
@@ -180,7 +201,7 @@ def main():
         return gen
 
     prob_sets, fn_f1s, y_true = [], [], None
-    for seed in (42, 43):
+    for seed in ((42,) if args.fast else (42, 43)):
         fn_params, hist = train_fakenet(
             fn_cfg, fn_batches(train_store),
             epochs=max(args.epochs // 2, 5), lr=5e-4, seed=seed)

@@ -109,28 +109,55 @@ class MisinformationPredictor:
 
     # ------------------------------------------------------------------
 
-    def _encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+    def _encode_texts(self, texts: Sequence[str], timings=None):
+        """-> DEVICE array (n, L, D): embeddings never visit the host —
+        the fusion forward consumes them in place and only logits come
+        back (each (B, 512, D) f32 pulled+re-pushed costs ~25 ms/MB each
+        way on tunneled links; round 5 serving fix)."""
+        import time as _t
+
+        import jax.numpy as jnp
+
         n = len(texts)
         pad = list(map(str, texts)) + [""] * (self.batch_size - n % self.batch_size
                                               if n % self.batch_size else 0)
         out = []
         for lo in range(0, len(pad), self.batch_size):
+            t0 = _t.perf_counter()
             ids, mask, _ = self.enc.tokenizer.encode_batch(
                 pad[lo:lo + self.batch_size], max_length=self.max_length)
-            out.append(np.asarray(self._text_fn(ids, mask), np.float32))
-        return np.concatenate(out)[:n]
+            t1 = _t.perf_counter()
+            out.append(self._text_fn(ids, mask))
+            if timings is not None:
+                timings["tokenize_s"] = timings.get("tokenize_s", 0.) + t1 - t0
+                timings["dispatch_s"] = (timings.get("dispatch_s", 0.)
+                                         + _t.perf_counter() - t1)
+        dev = out[0] if len(out) == 1 else jnp.concatenate(out)
+        return dev[:n]
 
-    def _encode_images(self, paths: Sequence[Optional[str]]):
+    def _encode_images(self, paths: Sequence[Optional[str]], timings=None):
+        """-> (DEVICE array (n, T, D), ok (n,) bool host)."""
+        import time as _t
+
+        import jax.numpy as jnp
+
         n = len(paths)
         rem = n % self.batch_size
         pad = list(paths) + [None] * (self.batch_size - rem if rem else 0)
         embs, oks = [], []
         for lo in range(0, len(pad), self.batch_size):
+            t0 = _t.perf_counter()
             imgs, ok = load_images_parallel(pad[lo:lo + self.batch_size],
                                             self._img_transform())
-            embs.append(np.asarray(self._image_fn(imgs), np.float32))
+            t1 = _t.perf_counter()
+            embs.append(self._image_fn(imgs))
             oks.append(ok)
-        return np.concatenate(embs)[:n], np.concatenate(oks)[:n]
+            if timings is not None:
+                timings["decode_s"] = timings.get("decode_s", 0.) + t1 - t0
+                timings["dispatch_s"] = (timings.get("dispatch_s", 0.)
+                                         + _t.perf_counter() - t1)
+        dev = embs[0] if len(embs) == 1 else jnp.concatenate(embs)
+        return dev[:n], np.concatenate(oks)[:n]
 
     @staticmethod
     def _softmax(x):
@@ -151,15 +178,29 @@ class MisinformationPredictor:
 
     def evaluate_batch(self, claim_texts, claim_image_paths,
                        evidence_texts, evidence_image_paths,
-                       detailed: bool = False) -> list:
+                       detailed: bool = False, timings=None) -> list:
         """Classify N pairs in batched compiled forwards. Returns, per pair,
-        {path: label-or-None} (or full detail dicts when detailed=True)."""
-        x_t = self._encode_texts(claim_texts)
-        e_t = self._encode_texts(evidence_texts)
-        x_i, x_ok = self._encode_images(claim_image_paths)
-        e_i, e_ok = self._encode_images(evidence_image_paths)
+        {path: label-or-None} (or full detail dicts when detailed=True).
+        Embeddings stay ON DEVICE between the encoders and fusion; only
+        the (N, 4, C) logits cross back to the host. `timings` (optional
+        dict) accumulates per-stage seconds: tokenize/decode (host),
+        dispatch (async device calls), d2h (logits sync pull)."""
+        import time as _t
+
+        x_t = self._encode_texts(claim_texts, timings)
+        e_t = self._encode_texts(evidence_texts, timings)
+        x_i, x_ok = self._encode_images(claim_image_paths, timings)
+        e_i, e_ok = self._encode_images(evidence_image_paths, timings)
+        t0 = _t.perf_counter()
+        logits_dev = self._fusion_fn(x_t, x_i, e_t, e_i)
+        t1 = _t.perf_counter()
         y_tt, y_ti, y_it, y_ii = (np.asarray(a, np.float32)
-                                  for a in self._fusion_fn(x_t, x_i, e_t, e_i))
+                                  for a in logits_dev)
+        if timings is not None:
+            timings["dispatch_s"] = timings.get("dispatch_s", 0.) + t1 - t0
+            timings["d2h_s"] = (timings.get("d2h_s", 0.)
+                                + _t.perf_counter() - t1)
+            timings["batches"] = timings.get("batches", 0) + 1
         results = []
         for j in range(len(x_t)):
             avail = {

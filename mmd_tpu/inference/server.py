@@ -51,6 +51,8 @@ class ServingEngine:
         self._served = 0
         self._batches = 0
         self._rows = 0
+        self._timings: dict = {}   # per-stage seconds from evaluate_batch
+        self._wait_s = 0.0         # queue wait (submit -> dispatch start)
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="mmd-serving")
         self._thread.start()
@@ -93,6 +95,12 @@ class ServingEngine:
                 out["latency_p50_ms"] = 1e3 * lat[len(lat) // 2]
                 out["latency_p95_ms"] = 1e3 * lat[int(len(lat) * 0.95)
                                                   if len(lat) > 1 else -1]
+            if self._served:
+                out["queue_wait_mean_ms"] = 1e3 * self._wait_s / self._served
+            # per-stage seconds across all batches (predictor-attributed:
+            # host tokenize/decode, async device dispatch, logits D2H sync)
+            out["stages_s"] = {k: round(v, 3)
+                               for k, v in self._timings.items()}
             return out
 
     def close(self):
@@ -129,9 +137,12 @@ class ServingEngine:
             ci = [r.claim_image for r in batch] + [None] * pad
             et = [r.evidence_text for r in batch] + [""] * pad
             ei = [r.evidence_image for r in batch] + [None] * pad
+            t_start = time.monotonic()
+            with self._cond:
+                self._wait_s += sum(t_start - r.t_submit for r in batch)
             try:
                 results = self.predictor.evaluate_batch(
-                    ct, ci, et, ei, detailed=True)
+                    ct, ci, et, ei, detailed=True, timings=self._timings)
             except Exception as e:                 # pragma: no cover
                 for r in batch:
                     r.future.set_exception(e)
