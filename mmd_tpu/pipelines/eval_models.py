@@ -115,6 +115,7 @@ def metrics_from_preds(preds: np.ndarray, labels: np.ndarray,
         add_row("unified", preds[:, 0], labels[:, 0], num_classes)
 
     if results_csv:
+        os.makedirs(os.path.dirname(results_csv) or ".", exist_ok=True)
         exists = os.path.exists(results_csv)
         with open(results_csv, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

@@ -266,6 +266,9 @@ class BankCaptioner:
             self._gen = lambda imgs: engine._gen(imgs)
 
     def on_chunk(self, imgs: dict, start: int, n: int):
+        """Ingest hook (streamed, un-banked splits). NOTE: the first call
+        blocks on the generate() compile — when a prewarm thread is
+        racing the same jit, prefer dispatch_bank() after ingest."""
         b = self.batch
         for kind in ("claim", "doc"):
             arr = imgs[kind]
@@ -275,15 +278,46 @@ class BankCaptioner:
                 toks = self._gen(block)
                 self._pending.append((kind, start + lo, hi - lo, toks))
 
+    def dispatch_bank(self, bank: "DeviceBank"):
+        """Async-dispatch caption generation over a bank's resident images
+        (device slices — no extra HBM, no host traffic). Results are
+        pulled later by collect()."""
+        import jax
+        import jax.numpy as jnp
+
+        b = self.batch
+
+        @jax.jit
+        def _slice(buf, start):
+            return jax.lax.dynamic_slice(
+                buf, (start, 0, 0, 0), (b, *buf.shape[1:]))
+
+        for kind, col in (("claim", "claim_image"), ("doc", "doc_image")):
+            buf = bank.data[col]
+            for lo in range(0, bank.n, b):
+                toks = self._gen(_slice(buf, jnp.int32(lo)))
+                self._pending.append((kind, lo, min(b, bank.n - lo), toks))
+
     def collect(self, n_rows: int) -> tuple:
-        """Pull + decode all pending captions -> (claim_caps, doc_caps)."""
+        """Pull + decode all pending captions -> (claim_caps, doc_caps).
+        Token arrays are concatenated ON DEVICE in groups and pulled with
+        ONE sync each (per-array pulls pay ~30 ms of tunnel round-trip
+        every time)."""
+        import jax.numpy as jnp
+
         caps = {"claim": [""] * n_rows, "doc": [""] * n_rows}
         tok = self.engine.tokenizer
-        for kind, start, n, toks in self._pending:
-            arr = np.asarray(toks)
-            for j in range(n):
-                if start + j < n_rows:
-                    caps[kind][start + j] = tok.decode(arr[j])
+        group = 32
+        for g0 in range(0, len(self._pending), group):
+            entries = self._pending[g0:g0 + group]
+            stacked = np.asarray(jnp.concatenate([e[3] for e in entries]))
+            row = 0
+            for kind, start, n, toks_dev in entries:
+                b = toks_dev.shape[0]
+                for j in range(n):
+                    if start + j < n_rows:
+                        caps[kind][start + j] = tok.decode(stacked[row + j])
+                row += b
         self._pending.clear()
         return caps["claim"], caps["doc"]
 
@@ -318,6 +352,47 @@ def write_enriched_csv(df: pd.DataFrame, bank_ids: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def bank_column_shapes(n_rows: int, chunk: int, max_length: int = 512,
+                       image_size: int = 256, keep_images: bool = True):
+    """ShapeDtypeStructs of the bank's device buffers (capacity-padded the
+    same way ingest_split allocates them) — lets the train window AOT-
+    compile BEFORE/DURING ingest, off the critical path."""
+    import jax
+
+    cap = n_rows + chunk
+    out = {
+        "claim_ids": jax.ShapeDtypeStruct((cap, max_length), np.int32),
+        "claim_mask": jax.ShapeDtypeStruct((cap, max_length), np.int32),
+        "doc_ids": jax.ShapeDtypeStruct((cap, max_length), np.int32),
+        "doc_mask": jax.ShapeDtypeStruct((cap, max_length), np.int32),
+        "labels": jax.ShapeDtypeStruct((cap, 4), np.int32),
+    }
+    if keep_images:
+        img = jax.ShapeDtypeStruct((cap, image_size, image_size, 3),
+                                   np.uint8)
+        out["claim_image"] = img
+        out["doc_image"] = img
+    return out
+
+
+def precompile_train_window(trainer, steps_per_call: int, data_sds: dict):
+    """AOT-compile the bank window from shapes only (no buffers touched):
+    run this in a thread while ingest streams — the remote XLA compile
+    rides the network alongside the H2D transfers. Returns the compiled
+    callable for train_from_bank(compiled=...)."""
+    import jax
+
+    enc = trainer.encoders
+    window = make_bank_window(trainer.cfg, enc, steps_per_call)
+    sds = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+    state_sds = jax.eval_shape(trainer.init)
+    frozen_sds = sds({"text": enc.text_params, "vit": enc.vit_params})
+    idx_sds = jax.ShapeDtypeStruct(
+        (steps_per_call, trainer.cfg.batch_size), np.int32)
+    return window.lower(state_sds, frozen_sds, data_sds, idx_sds).compile()
+
+
 def make_bank_window(cfg, enc, steps_per_call: int):
     """One compiled call scanning `steps_per_call` raw-path train steps,
     each gathering its batch ON DEVICE from the resident bank (idx is the
@@ -343,17 +418,26 @@ def make_bank_window(cfg, enc, steps_per_call: int):
 
 
 def train_from_bank(trainer, bank: DeviceBank, steps_per_call: int = 8,
-                    log_every: int = 50, logger=None):
-    """Epochs of globally-shuffled windows over the bank. Returns state."""
+                    log_every: int = 50, logger=None, compiled=None):
+    """Epochs of globally-shuffled windows over the bank. Returns state.
+    `compiled`: precompile_train_window result (AOT, overlapped with
+    ingest); falls back to jit-on-first-call."""
     import jax
     import jax.numpy as jnp
 
     cfg = trainer.cfg
     enc = trainer.encoders
-    window = make_bank_window(cfg, enc, steps_per_call)
+    b, k = cfg.batch_size, steps_per_call
+    if bank.n < b * k:
+        # skip-and-count shrank the bank below the (pre-ingest-estimated)
+        # window; shrink the window and drop the stale AOT compile
+        k = max(bank.n // max(b, 1), 1)
+        b = min(b, bank.n)
+        compiled = None
+        print(f"[fused-train] bank smaller than window, using k={k} b={b}")
+    window = compiled or make_bank_window(cfg, enc, k)
     state = trainer.init()
     frozen = {"text": enc.text_params, "vit": enc.vit_params}
-    b, k = cfg.batch_size, steps_per_call
     rng = np.random.default_rng(cfg.seed)
     step = 0
     t0 = time.time()
@@ -380,7 +464,37 @@ def train_from_bank(trainer, bank: DeviceBank, steps_per_call: int = 8,
         # ragged tail: fold leftover rows into the next epoch's shuffle
         # (window-quantized epochs; the reference drops ragged tails of
         # its DataLoader batches the same way)
+    out_dir = Path(cfg.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    from mmd_tpu.core.checkpoint import save_params
+    save_params(str(out_dir / "final_model"), state.params)
     return state
+
+
+def precompile_bank_predict(model_cfg, enc, batch_size: int,
+                            max_length: int = 512, image_size: int = 256):
+    """AOT-compile the raw-path eval forward from shapes (prewarm)."""
+    import jax
+
+    batch_sds = {
+        "claim_ids": jax.ShapeDtypeStruct((batch_size, max_length), np.int32),
+        "claim_mask": jax.ShapeDtypeStruct((batch_size, max_length), np.int32),
+        "doc_ids": jax.ShapeDtypeStruct((batch_size, max_length), np.int32),
+        "doc_mask": jax.ShapeDtypeStruct((batch_size, max_length), np.int32),
+        "claim_image": jax.ShapeDtypeStruct(
+            (batch_size, image_size, image_size, 3), np.uint8),
+        "doc_image": jax.ShapeDtypeStruct(
+            (batch_size, image_size, image_size, 3), np.uint8),
+        "labels": jax.ShapeDtypeStruct((batch_size, 4), np.int32),
+    }
+    sds = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+    from mmd_tpu.models.fusion import init_fusion_params
+    params_sds = jax.eval_shape(
+        lambda: init_fusion_params(jax.random.key(0), model_cfg))
+    frozen_sds = sds({"text": enc.text_params, "vit": enc.vit_params})
+    predict = make_bank_predict(model_cfg, enc)
+    return predict.lower(params_sds, frozen_sds, batch_sds).compile()
 
 
 def make_bank_predict(model_cfg, enc):
@@ -415,6 +529,36 @@ def make_bank_predict(model_cfg, enc):
         return jnp.argmax(jnp.stack([y_tt, y_ti, y_it, y_ii], 1), -1)
 
     return jax.jit(predict_fn)
+
+
+def evaluate_from_bank(bank: DeviceBank, enc, model_cfg, fusion_params,
+                       batch_size: int = 64, results_csv=None,
+                       compiled=None):
+    """Raw-path eval over a banked split: batches gather on device (idx is
+    the only H2D), only (B, P) preds return. Tail windows wrap modulo n;
+    wrapped duplicate rows are dropped before the metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmd_tpu.pipelines.eval_models import metrics_from_preds
+
+    predict = compiled or make_bank_predict(model_cfg, enc)
+    frozen = {"text": enc.text_params, "vit": enc.vit_params}
+    preds, labels = [], []
+    b = min(batch_size, max(bank.n, 1))
+    if compiled is not None and b != batch_size:
+        predict = make_bank_predict(model_cfg, enc)   # stale AOT shape
+    for lo in range(0, bank.n, b):
+        idx = (np.arange(lo, lo + b) % bank.n).astype(np.int32)
+        valid = min(b, bank.n - lo)
+        batch = {k: jnp.take(bank.data[k], jnp.asarray(idx), axis=0)
+                 for k in BANK_COLS}
+        p = np.asarray(predict(fusion_params, frozen, batch))[:valid]
+        l = np.asarray(batch["labels"])[:valid]
+        preds.append(p)
+        labels.append(l)
+    return metrics_from_preds(np.concatenate(preds), np.concatenate(labels),
+                              results_csv=results_csv)
 
 
 def evaluate_streaming(csv_path, enc, model_cfg, fusion_params,

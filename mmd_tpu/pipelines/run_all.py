@@ -59,6 +59,18 @@ def main():
                    help="fused: ingest chunk rows (H2D granularity)")
     args = p.parse_args()
 
+    # Persistent XLA compilation cache: the remote compiles on tunneled
+    # hosts cost minutes per big graph (captioner decode scan ~10 min);
+    # keyed by HLO fingerprint, so repeat runs skip them entirely.
+    try:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("MMD_JAX_CACHE", "/tmp/mmd_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:
+        print(f"[run_all] compilation cache unavailable: {e}")
+
     from mmd_tpu.core.profiling import Stages
     stages = Stages()
 
@@ -250,19 +262,65 @@ def _run_fused(args, stages, root, train_csv, test_csv, enc):
     test_capt = F.BankCaptioner(engine, batch=cap_batch,
                                 bank_image_size=image_size)
 
+    # ---- prewarm: big compiles ride the network WHILE ingest streams ----
+    # (remote XLA compiles don't consume device time; the caption decode
+    # scan alone costs ~10 min cold — hide it behind the ~5 min ingest)
+    model = ModelConfig(
+        text_input_dim=enc.text_cfg.hidden_size,
+        image_input_dim=enc.vit_cfg.hidden_size,
+        embed_dim=args.embed_dim if not args.tiny else 32,
+        num_heads=8 if not args.tiny else 4,
+        hidden_dim=64 if not args.tiny else 16,
+        fused_attn=jax.default_backend() == "tpu")
+    n_train_csv = len(pd.read_csv(train_csv))
+    bs = min(args.train_batch, max(n_train_csv // 4, 1))
+    k = max(1, min(args.steps_per_call, n_train_csv // max(bs, 1)))
+    cfg = TrainConfig(model=model, batch_size=bs, epochs=args.epochs,
+                      lr=1e-3, output_dir=str(root / "results"),
+                      save_every=0, log_every=50)
+    trainer = Trainer(cfg, make_mesh(), encoders=enc)
+    warm: dict = {}
+
+    def _warm_gen():
+        import numpy as _np
+        try:
+            engine._gen(_np.zeros(
+                (cap_batch, engine.cfg.vit.image_size,
+                 engine.cfg.vit.image_size, 3), _np.uint8))
+        except Exception as e:                    # fall back to lazy jit
+            print(f"[run_all] caption prewarm failed: {e}")
+
+    def _warm_window():
+        try:
+            data_sds = F.bank_column_shapes(
+                n_train_csv, chunk, image_size=image_size)
+            warm["window"] = F.precompile_train_window(trainer, k, data_sds)
+        except Exception as e:
+            print(f"[run_all] train-window prewarm failed "
+                  f"(lazy compile instead): {e}")
+
+    import threading
+    warm_threads = [threading.Thread(target=f, daemon=True, name=n)
+                    for f, n in ((_warm_gen, "mmd-warm-gen"),
+                                 (_warm_window, "mmd-warm-window"))]
+    for t in warm_threads:
+        t.start()
+
     with stages.stage("ingest"):
         bank = F.ingest_split(train_csv, enc, image_size=image_size,
-                              chunk=chunk, on_chunk=train_capt.on_chunk,
-                              root=root)
+                              chunk=chunk, root=root)
         test_bank = F.ingest_split(test_csv, enc, image_size=image_size,
-                                   chunk=chunk, keep_images=False,
-                                   on_chunk=test_capt.on_chunk, root=root)
+                                   chunk=chunk, root=root)
     print(f"[run_all] fused ingest: train {bank.n} rows "
           f"({bank.skipped} skipped), test {test_bank.n} rows "
           f"({test_bank.skipped} skipped)")
 
     with stages.stage("caption"):
+        # dispatches are async over bank slices (no extra HBM, no host
+        # traffic); the first gen waits on the prewarmed compile
         pre = root / "data" / "preprocessed"
+        train_capt.dispatch_bank(bank)
+        test_capt.dispatch_bank(test_bank)
         cc, dc = train_capt.collect(bank.n)
         F.write_enriched_csv(pd.read_csv(train_csv), bank.ids, cc, dc,
                              pre / "train_enriched.csv")
@@ -278,32 +336,22 @@ def _run_fused(args, stages, root, train_csv, test_csv, enc):
         image_corpus = F.build_image_corpus_from_bank(bank, root,
                                                       tiny=args.tiny)
 
-    model = ModelConfig(
-        text_input_dim=enc.text_cfg.hidden_size,
-        image_input_dim=enc.vit_cfg.hidden_size,
-        embed_dim=args.embed_dim if not args.tiny else 32,
-        num_heads=8 if not args.tiny else 4,
-        hidden_dim=64 if not args.tiny else 16,
-        fused_attn=jax.default_backend() == "tpu")
-    bs = min(args.train_batch, max(bank.n // 2, 1))
-    k = max(1, min(args.steps_per_call, bank.n // max(bs, 1)))
-    cfg = TrainConfig(model=model, batch_size=bs, epochs=args.epochs,
-                      lr=1e-3, output_dir=str(root / "results"),
-                      save_every=0, log_every=50)
-    trainer = Trainer(cfg, make_mesh(), encoders=enc)
+    for t in warm_threads:
+        t.join()
     with stages.stage("train"):
         state = F.train_from_bank(trainer, bank, steps_per_call=k,
-                                  log_every=cfg.log_every)
+                                  log_every=cfg.log_every,
+                                  compiled=warm.get("window"))
 
     with stages.stage("eval"):
-        metrics = F.evaluate_streaming(
-            test_csv, enc, model, state.params, batch_size=bs,
-            image_size=image_size,
-            results_csv=str(root / "results" / "eval.csv"), root=root)
+        metrics = F.evaluate_from_bank(
+            test_bank, enc, model, state.params, batch_size=bs,
+            results_csv=str(root / "results" / "eval.csv"))
     print("[run_all] eval:", {k_: round(v, 3) for k_, v in metrics.items()
                               if "unified" in k_})
 
     bank.free_images()                    # HBM headroom for the demo path
+    test_bank.free_images()
     _demo_verify(args, stages, root, enc, engine, model, state.params,
                  text_corpora, image_corpus, test_csv, bs)
     _write_timings(args, stages, enc, bank.n, test_bank.n)

@@ -127,6 +127,17 @@ def test_caption_hook_and_enriched_csv(setup, froot):
     assert "claim_image" not in bank2.data          # streamed, not banked
     cc, dc = capt.collect(bank2.n)
     assert len(cc) == bank2.n == len(dc)
+    # dispatch_bank over the image-banked split produces the SAME captions
+    # as the streaming on_chunk hook (same images, same engine)
+    from mmd_tpu.pipelines.fused import ingest_split as _ing
+    bank3 = _ing(train_csv, enc, image_size=enc.vit_cfg.image_size,
+                 chunk=8, root=froot)
+    capt2 = BankCaptioner(engine, batch=4,
+                          bank_image_size=enc.vit_cfg.image_size)
+    capt2.dispatch_bank(bank3)
+    cc2, dc2 = capt2.collect(bank3.n)
+    assert cc2 == cc and dc2 == dc
+
     out = write_enriched_csv(pd.read_csv(train_csv), bank2.ids, cc, dc,
                              froot / "train_enriched_fused.csv")
     df = pd.read_csv(out)
@@ -140,7 +151,8 @@ def test_streaming_eval_metrics(setup, froot):
 
     from mmd_tpu.core.config import ModelConfig
     from mmd_tpu.models.fusion import init_fusion_params
-    from mmd_tpu.pipelines.fused import evaluate_streaming
+    from mmd_tpu.pipelines.fused import (evaluate_from_bank,
+                                         evaluate_streaming, ingest_split)
 
     _, test_csv, enc = setup
     model = ModelConfig(
@@ -154,6 +166,12 @@ def test_streaming_eval_metrics(setup, froot):
         results_csv=str(froot / "eval_fused.csv"), root=froot)
     assert "unified/accuracy" in metrics
     assert (froot / "eval_fused.csv").exists()
+    # banked eval == streaming eval (identical forwards, wrapped-tail drop)
+    tb = ingest_split(test_csv, enc, image_size=enc.vit_cfg.image_size,
+                      chunk=4, root=froot)
+    metrics_b = evaluate_from_bank(tb, enc, model, params, batch_size=4)
+    for key in ("unified/accuracy", "unified/micro_f1"):
+        assert abs(metrics_b[key] - metrics[key]) < 1e-9, key
 
 
 def test_image_corpus_from_bank(setup, bank, froot):
