@@ -86,6 +86,53 @@ def _bank_write(buf, chunk, start):
     return _bank_write_fn(buf, chunk, start)
 
 
+def vis_embed_shape(enc, image_size: int, vis_dtype="bfloat16"):
+    """(num_tokens, hidden) of the frozen image encoder's output — shape
+    only (jax.eval_shape, no device work). Used to size vis bank columns
+    and the AOT train-window ShapeDtypeStructs."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmd_tpu.models.frozen import image_encode
+
+    p_sds = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), enc.vit_params)
+    x_sds = jax.ShapeDtypeStruct((1, image_size, image_size, 3),
+                                 jnp.dtype(vis_dtype))
+    out = jax.eval_shape(lambda p, x: image_encode(p, enc.vit_cfg, x),
+                         p_sds, x_sds)
+    return (out.shape[1], out.shape[2])
+
+
+def _make_chunk_embed(enc, dtype, sub: int):
+    """Jitted frozen image-encoder over one ingest chunk, sub-batched via
+    lax.map so peak activations stay at `sub` images regardless of chunk
+    size. EXACTLY mirrors the raw train step's image path
+    (training/trainer.py make_encoding_raw_step: normalize_on_device with
+    TRAIN_TRANSFORM stats at compute dtype, then image_encode); banking
+    the result in `dtype` is numerics-identical to the raw path because
+    fusion_forward casts its embedding inputs to compute_dtype at entry
+    (models/fusion.py fusion_forward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmd_tpu.models.frozen import image_encode
+    from mmd_tpu.ops.image_ops import normalize_on_device
+
+    dt = jnp.dtype(dtype)
+
+    @jax.jit
+    def embed(vit_params, u8):
+        def f(block):
+            x = normalize_on_device(block, TRAIN_TRANSFORM, dt)
+            return image_encode(vit_params, enc.vit_cfg, x).astype(dt)
+        blocks = u8.reshape(u8.shape[0] // sub, sub, *u8.shape[1:])
+        out = jax.lax.map(f, blocks)
+        return out.reshape(u8.shape[0], *out.shape[2:])
+
+    return embed
+
+
 def ingest_split(
     csv_path,
     enc,
@@ -95,6 +142,8 @@ def ingest_split(
     io_workers: int = 8,
     sync_every: int = 8,
     keep_images: bool = True,
+    embed_images: bool = False,
+    vis_dtype: str = "bfloat16",
     on_chunk: Optional[Callable] = None,
     root: Optional[Path] = None,
 ) -> DeviceBank:
@@ -111,9 +160,20 @@ def ingest_split(
     streamed to `on_chunk` and dropped) — used for the test split so the
     train bank and models keep headroom in HBM.
 
+    With embed_images=True the bank stores the FROZEN image encoder's
+    output per image (`claim_vis`/`doc_vis`, (n, tokens, hidden) in
+    vis_dtype) instead of raw pixels, computed on device per chunk while
+    the next chunk decodes on the host. This is the at-scale mode: the
+    bf16 embedding (e.g. 64x1024 = 128 KB) is SMALLER than the raw uint8
+    image (256x256x3 = 192 KB), halves-ish HBM, and drops the image
+    encoder from every train/eval step — numerics-identical to the raw
+    path because the encoder is frozen and fusion casts embeddings to
+    compute_dtype at entry (equality-tested in tests/test_fused.py).
+    Implies the raw images are NOT banked.
+
     on_chunk(images_dict, start_row, n_rows) is called after each chunk
     lands, with DEVICE uint8 arrays {"claim": (chunk, S, S, 3), "doc": ...}
-    — the caption-overlap hook.
+    — the caption/feature-overlap hook.
     """
     import jax
     import jax.numpy as jnp
@@ -131,13 +191,24 @@ def ingest_split(
         "doc_mask": ((max_length,), np.int32),
         "labels": ((4,), np.int32),
     }
+    embed_fn = None
+    if embed_images:
+        keep_images = False
+        tok, hid = vis_embed_shape(enc, image_size, vis_dtype)
+        shapes["claim_vis"] = ((tok, hid), np.dtype(vis_dtype))
+        shapes["doc_vis"] = ((tok, hid), np.dtype(vis_dtype))
+        sub = chunk
+        while sub > 64 and sub % 2 == 0:
+            sub //= 2
+        embed_fn = _make_chunk_embed(enc, vis_dtype, sub)
     if keep_images:
         shapes["claim_image"] = ((image_size, image_size, 3), np.uint8)
         shapes["doc_image"] = ((image_size, image_size, 3), np.uint8)
     data = {col: jnp.zeros((cap, *shp), dt) for col, (shp, dt) in shapes.items()}
 
     staging = {col: np.zeros((chunk, *shp), dt)
-               for col, (shp, dt) in shapes.items()}
+               for col, (shp, dt) in shapes.items()
+               if not col.endswith("_vis")}
     if not keep_images:
         staging["claim_image"] = np.zeros(
             (chunk, image_size, image_size, 3), np.uint8)
@@ -171,6 +242,10 @@ def ingest_split(
                 data[col] = _bank_write(data[col], dev_chunk, start)
             if col in ("claim_image", "doc_image"):
                 imgs[col.split("_")[0]] = dev_chunk
+        if embed_fn is not None:
+            for kind, col in (("claim", "claim_vis"), ("doc", "doc_vis")):
+                vis = embed_fn(enc.vit_params, imgs[kind])
+                data[col] = _bank_write(data[col], vis, start)
         if on_chunk is not None:
             on_chunk(imgs, cursor, staged)
         cursor += staged
@@ -266,9 +341,12 @@ class BankCaptioner:
             self._gen = lambda imgs: engine._gen(imgs)
 
     def on_chunk(self, imgs: dict, start: int, n: int):
-        """Ingest hook (streamed, un-banked splits). NOTE: the first call
-        blocks on the generate() compile — when a prewarm thread is
-        racing the same jit, prefer dispatch_bank() after ingest."""
+        """Ingest hook. Blocks are ALWAYS full `batch` rows (the staging
+        buffer is capacity-padded, so slicing past n reads zero rows) — a
+        ragged tail must never trigger a fresh decode-scan compile. The
+        first call blocks on the generate() compile; start the prewarm
+        thread before ingest so that wait is already paid (it lands in
+        the persistent compilation cache for later runs)."""
         b = self.batch
         for kind in ("claim", "doc"):
             arr = imgs[kind]
@@ -353,10 +431,14 @@ def write_enriched_csv(df: pd.DataFrame, bank_ids: np.ndarray,
 
 
 def bank_column_shapes(n_rows: int, chunk: int, max_length: int = 512,
-                       image_size: int = 256, keep_images: bool = True):
+                       image_size: int = 256, keep_images: bool = True,
+                       vis: Optional[tuple] = None,
+                       vis_dtype: str = "bfloat16"):
     """ShapeDtypeStructs of the bank's device buffers (capacity-padded the
     same way ingest_split allocates them) — lets the train window AOT-
-    compile BEFORE/DURING ingest, off the critical path."""
+    compile BEFORE/DURING ingest, off the critical path. `vis=(tok, hid)`
+    (from vis_embed_shape) describes an embed_images bank instead of a
+    raw-image bank."""
     import jax
 
     cap = n_rows + chunk
@@ -367,7 +449,11 @@ def bank_column_shapes(n_rows: int, chunk: int, max_length: int = 512,
         "doc_mask": jax.ShapeDtypeStruct((cap, max_length), np.int32),
         "labels": jax.ShapeDtypeStruct((cap, 4), np.int32),
     }
-    if keep_images:
+    if vis is not None:
+        v = jax.ShapeDtypeStruct((cap, *vis), np.dtype(vis_dtype))
+        out["claim_vis"] = v
+        out["doc_vis"] = v
+    elif keep_images:
         img = jax.ShapeDtypeStruct((cap, image_size, image_size, 3),
                                    np.uint8)
         out["claim_image"] = img
@@ -408,7 +494,7 @@ def make_bank_window(cfg, enc, steps_per_call: int):
         import jax.numpy as jnp
 
         def body(st, i):
-            batch = {k: jnp.take(data[k], i, axis=0) for k in BANK_COLS}
+            batch = {k: jnp.take(data[k], i, axis=0) for k in data}
             st, aux = raw(st, frozen, batch)
             return st, {"loss": aux["loss"], "preds": aux["preds"],
                         "labels": aux["labels"]}
@@ -472,8 +558,11 @@ def train_from_bank(trainer, bank: DeviceBank, steps_per_call: int = 8,
 
 
 def precompile_bank_predict(model_cfg, enc, batch_size: int,
-                            max_length: int = 512, image_size: int = 256):
-    """AOT-compile the raw-path eval forward from shapes (prewarm)."""
+                            max_length: int = 512, image_size: int = 256,
+                            vis: Optional[tuple] = None,
+                            vis_dtype: str = "bfloat16"):
+    """AOT-compile the bank eval forward from shapes (prewarm). `vis`
+    describes an embed_images bank (see bank_column_shapes)."""
     import jax
 
     batch_sds = {
@@ -481,12 +570,17 @@ def precompile_bank_predict(model_cfg, enc, batch_size: int,
         "claim_mask": jax.ShapeDtypeStruct((batch_size, max_length), np.int32),
         "doc_ids": jax.ShapeDtypeStruct((batch_size, max_length), np.int32),
         "doc_mask": jax.ShapeDtypeStruct((batch_size, max_length), np.int32),
-        "claim_image": jax.ShapeDtypeStruct(
-            (batch_size, image_size, image_size, 3), np.uint8),
-        "doc_image": jax.ShapeDtypeStruct(
-            (batch_size, image_size, image_size, 3), np.uint8),
         "labels": jax.ShapeDtypeStruct((batch_size, 4), np.int32),
     }
+    if vis is not None:
+        v = jax.ShapeDtypeStruct((batch_size, *vis), np.dtype(vis_dtype))
+        batch_sds["claim_vis"] = v
+        batch_sds["doc_vis"] = v
+    else:
+        img = jax.ShapeDtypeStruct(
+            (batch_size, image_size, image_size, 3), np.uint8)
+        batch_sds["claim_image"] = img
+        batch_sds["doc_image"] = img
     sds = lambda t: jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
     from mmd_tpu.models.fusion import init_fusion_params
@@ -515,12 +609,17 @@ def make_bank_predict(model_cfg, enc):
         image = lambda u8: image_encode(
             frozen["vit"], enc.vit_cfg,
             normalize_on_device(u8, TRAIN_TRANSFORM, dtype))
+        if "claim_vis" in batch:            # embed_images bank
+            vis_c, vis_d = batch["claim_vis"], batch["doc_vis"]
+        else:
+            vis_c = image(batch["claim_image"])
+            vis_d = image(batch["doc_image"])
         out = fusion_forward(
             fusion_params, model_cfg,
             text(batch["claim_ids"], batch["claim_mask"]),
-            image(batch["claim_image"]),
+            vis_c,
             text(batch["doc_ids"], batch["doc_mask"]),
-            image(batch["doc_image"]),
+            vis_d,
             deterministic=True)
         if model_cfg.factify or model_cfg.text_only:
             logits, _ = out
@@ -552,7 +651,7 @@ def evaluate_from_bank(bank: DeviceBank, enc, model_cfg, fusion_params,
         idx = (np.arange(lo, lo + b) % bank.n).astype(np.int32)
         valid = min(b, bank.n - lo)
         batch = {k: jnp.take(bank.data[k], jnp.asarray(idx), axis=0)
-                 for k in BANK_COLS}
+                 for k in bank.data}
         p = np.asarray(predict(fusion_params, frozen, batch))[:valid]
         l = np.asarray(batch["labels"])[:valid]
         preds.append(p)
@@ -621,6 +720,89 @@ def evaluate_streaming(csv_path, enc, model_cfg, fusion_params,
 # ---------------------------------------------------------------------------
 
 
+def _load_resnet(tiny: bool, assets):
+    import jax
+
+    from mmd_tpu.models.resnet import RESNET_TEST, ResNetConfig, init_resnet
+
+    cfg = RESNET_TEST if tiny else ResNetConfig()
+    params = None
+    ckpt = Path(assets) / "resnet50.ckpt"
+    if not tiny and ckpt.exists():
+        from mmd_tpu.core.checkpoint import load_params
+        params = load_params(str(ckpt))
+    if params is None:
+        params = init_resnet(jax.random.key(7), cfg)
+    return params, cfg
+
+
+class BankResNetFeatures:
+    """Ingest hook computing the image-retrieval corpus features from the
+    streamed evidence-image chunks (so embed_images banks never need the
+    raw pixels resident). Same device math as build_image_corpus_from_bank:
+    RESNET_TRANSFORM normalization + resize on device, bf16 ResNet
+    (reference im2im_retrieval.py:14-17's precompute). Feature arrays stay
+    on device until write() pulls them in one pass."""
+
+    def __init__(self, tiny: bool = False, sub: int = 64,
+                 assets="assets/encoders"):
+        import jax
+        import jax.numpy as jnp
+
+        from mmd_tpu.models.resnet import resnet_features
+        from mmd_tpu.ops.image_ops import RESNET_TRANSFORM
+
+        self.params, self.cfg = _load_resnet(tiny, assets)
+        self._chunks: list = []
+        size = RESNET_TRANSFORM.size
+        mean = jnp.asarray(RESNET_TRANSFORM.mean, jnp.float32) * 255.0
+        std = jnp.asarray(RESNET_TRANSFORM.std, jnp.float32) * 255.0
+        cfg = self.cfg
+
+        @jax.jit
+        def feat(params, u8):
+            def f(block):
+                x = (block.astype(jnp.float32) - mean) / std
+                x = jax.image.resize(
+                    x, (block.shape[0], size, size, 3), "bilinear")
+                return resnet_features(params, x.astype(jnp.bfloat16), cfg)
+            s = min(sub, u8.shape[0])
+            while u8.shape[0] % s:
+                s -= 1
+            blocks = u8.reshape(u8.shape[0] // s, s, *u8.shape[1:])
+            return jax.lax.map(f, blocks).reshape(u8.shape[0], -1)
+
+        self._feat = feat
+
+    def on_chunk(self, imgs: dict, start: int, n: int):
+        self._chunks.append((start, n,
+                             self._feat(self.params, imgs["doc"])))
+
+    def write(self, bank: DeviceBank, root: Path):
+        """Assemble (bank.n, feature_dim) f16 and write the corpus."""
+        import jax.numpy as jnp
+
+        from mmd_tpu.retrieval.image import ImageCorpus
+
+        if self._chunks:
+            stacked = np.asarray(
+                jnp.concatenate([c[2] for c in self._chunks]), np.float16)
+            rows = []
+            off = 0
+            for start, n, f in self._chunks:
+                rows.append(stacked[off:off + n])
+                off += f.shape[0]
+            features = np.concatenate(rows)[:bank.n]
+        else:
+            features = np.zeros((0, self.cfg.feature_dim), np.float16)
+        self._chunks.clear()
+        corpus = ImageCorpus(root / "data" / "retrieval" / "image_corpus",
+                             resnet_params=self.params, cfg=self.cfg)
+        corpus.write_feature_corpus(features,
+                                    [str(p) for p in bank.doc_paths])
+        return corpus
+
+
 def build_image_corpus_from_bank(bank: DeviceBank, root: Path,
                                  tiny: bool = False, batch: int = 64,
                                  assets="assets/encoders"):
@@ -632,19 +814,11 @@ def build_image_corpus_from_bank(bank: DeviceBank, root: Path,
     import jax
     import jax.numpy as jnp
 
-    from mmd_tpu.models.resnet import (RESNET_TEST, ResNetConfig, init_resnet,
-                                       resnet_features)
+    from mmd_tpu.models.resnet import resnet_features
     from mmd_tpu.ops.image_ops import RESNET_TRANSFORM
     from mmd_tpu.retrieval.image import ImageCorpus
 
-    cfg = RESNET_TEST if tiny else ResNetConfig()
-    resnet_params = None
-    ckpt = Path(assets) / "resnet50.ckpt"
-    if not tiny and ckpt.exists():
-        from mmd_tpu.core.checkpoint import load_params
-        resnet_params = load_params(str(ckpt))
-    if resnet_params is None:
-        resnet_params = init_resnet(jax.random.key(7), cfg)
+    resnet_params, cfg = _load_resnet(tiny, assets)
 
     size = RESNET_TRANSFORM.size
     mean = jnp.asarray(RESNET_TRANSFORM.mean, jnp.float32) * 255.0

@@ -205,11 +205,19 @@ def make_encoding_raw_step(cfg: TrainConfig, enc,
         image = lambda u8: image_encode(
             frozen["vit"], enc.vit_cfg,
             normalize_on_device(u8, TRAIN_TRANSFORM, dtype))
+        if "claim_vis" in batch:
+            # embed_images bank (pipelines/fused.py): the frozen image
+            # encoder already ran at ingest; its banked output is exact
+            # (fusion casts embeddings to compute_dtype at entry anyway)
+            vis_c, vis_d = batch["claim_vis"], batch["doc_vis"]
+        else:
+            vis_c = image(batch["claim_image"])
+            vis_d = image(batch["doc_image"])
         emb = {
             "claim_text_embeds": text(batch["claim_ids"], batch["claim_mask"]),
             "doc_text_embeds": text(batch["doc_ids"], batch["doc_mask"]),
-            "claim_image_embeds": image(batch["claim_image"]),
-            "doc_image_embeds": image(batch["doc_image"]),
+            "claim_image_embeds": vis_c,
+            "doc_image_embeds": vis_d,
         }
         emb = jax.tree_util.tree_map(jax.lax.stop_gradient, emb)
         emb["labels"] = batch["labels"]

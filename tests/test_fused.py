@@ -184,3 +184,91 @@ def test_image_corpus_from_bank(setup, bank, froot):
     assert all(str(p).endswith(".jpg") for p in corpus._ids)
     hits = corpus.retrieve_similar_images(bank.doc_paths[0], top_k=1)
     assert hits
+
+
+def test_embed_bank_matches_raw(setup, bank, froot):
+    """embed_images banks (frozen vis embeddings instead of raw pixels)
+    are numerics-equal to raw-image banks through ingest, the train
+    window, and eval — the at-scale fused mode's correctness contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmd_tpu.core.config import ModelConfig, TrainConfig
+    from mmd_tpu.core.mesh import make_mesh
+    from mmd_tpu.pipelines.fused import (_make_chunk_embed,
+                                         evaluate_from_bank, ingest_split,
+                                         make_bank_window)
+    from mmd_tpu.training.trainer import Trainer
+
+    train_csv, _, enc = setup
+    ebank = ingest_split(train_csv, enc, image_size=enc.vit_cfg.image_size,
+                         chunk=8, embed_images=True, vis_dtype="float32",
+                         root=froot)
+    assert "claim_image" not in ebank.data
+    assert "doc_image" not in ebank.data
+    assert ebank.data["claim_vis"].dtype == jnp.float32
+    assert ebank.n == bank.n
+    np.testing.assert_array_equal(np.asarray(ebank.data["claim_ids"]),
+                                  np.asarray(bank.data["claim_ids"]))
+
+    # vis columns == the frozen encoder over the banked raw images
+    embed = _make_chunk_embed(enc, "float32", sub=8)
+    for vcol, icol in (("claim_vis", "claim_image"),
+                       ("doc_vis", "doc_image")):
+        want = np.asarray(embed(enc.vit_params, bank.data[icol][:8]))
+        got = np.asarray(ebank.data[vcol][:8])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # train window: embed bank == raw bank (losses AND updated params)
+    model = ModelConfig(
+        text_input_dim=enc.text_cfg.hidden_size,
+        image_input_dim=enc.vit_cfg.hidden_size,
+        embed_dim=32, num_heads=4, hidden_dim=16,
+        compute_dtype="float32", fused_attn=False)
+    cfg = TrainConfig(model=model, batch_size=4, epochs=1, lr=1e-3,
+                      output_dir=str(froot / "res_embed"), save_every=0)
+    trainer = Trainer(cfg, make_mesh(jax.devices()[:1]), encoders=enc)
+    window = make_bank_window(cfg, enc, 2)
+    frozen = {"text": enc.text_params, "vit": enc.vit_params}
+    idx = jnp.asarray(np.arange(8, dtype=np.int32).reshape(2, 4))
+    s_r, aux_r = window(trainer.init(), frozen, bank.data, idx)
+    s_e, aux_e = window(trainer.init(), frozen, ebank.data, idx)
+    np.testing.assert_allclose(np.asarray(aux_e["loss"]),
+                               np.asarray(aux_r["loss"]), rtol=1e-4)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_r.params),
+            jax.tree_util.tree_leaves_with_path(s_e.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(pa))
+
+    # eval: same metrics from either bank
+    from mmd_tpu.models.fusion import init_fusion_params
+    params = init_fusion_params(jax.random.key(1), model)
+    m_r = evaluate_from_bank(bank, enc, model, params, batch_size=4)
+    m_e = evaluate_from_bank(ebank, enc, model, params, batch_size=4)
+    for key in ("unified/accuracy", "unified/micro_f1"):
+        assert abs(m_e[key] - m_r[key]) < 1e-9, key
+
+
+def test_resnet_feature_hook(setup, bank, froot):
+    """Streamed per-chunk ResNet features (the embed_images mode's image
+    corpus path) == the banked build_image_corpus_from_bank features."""
+    from mmd_tpu.pipelines.fused import (BankResNetFeatures,
+                                         build_image_corpus_from_bank)
+
+    _, _, enc = setup
+    ref = build_image_corpus_from_bank(bank, froot / "ref_corpus",
+                                       tiny=True, batch=4)
+    feats = BankResNetFeatures(tiny=True, sub=4)
+    for lo in range(0, bank.n, 8):
+        feats.on_chunk({"doc": bank.data["doc_image"][lo:lo + 8]},
+                       lo, min(8, bank.n - lo))
+    hook_corpus = feats.write(bank, froot / "hook_corpus")
+    assert len(hook_corpus) == bank.n == len(ref)
+    ref._load()
+    hook_corpus._load()
+    np.testing.assert_allclose(np.asarray(hook_corpus._features, np.float32),
+                               np.asarray(ref._features, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    hits = hook_corpus.retrieve_similar_images(bank.doc_paths[0], top_k=1)
+    assert hits
