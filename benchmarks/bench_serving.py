@@ -80,19 +80,23 @@ def main():
             return n / dt
 
         run_wave(B * 2, "warmup (compiles)")
+        warm = eng.stats()                 # snapshot to exclude compile time
+        wst = warm.get("stages_s", {})
         qps = run_wave(256, "steady")
         stats = eng.stats()
         st = stats.get("stages_s", {})
-        host_s = st.get("tokenize_s", 0.0) + st.get("decode_s", 0.0)
-        disp_s = st.get("dispatch_s", 0.0)
-        sync_s = st.get("d2h_s", 0.0)
-        served = stats.get("served", 1)
+        # steady-wave deltas only — the warmup wave's remote compiles land
+        # in dispatch_s and would otherwise poison the estimate
+        host_s = (st.get("tokenize_s", 0.0) - wst.get("tokenize_s", 0.0)
+                  + st.get("decode_s", 0.0) - wst.get("decode_s", 0.0))
+        disp_s = st.get("dispatch_s", 0.0) - wst.get("dispatch_s", 0.0)
+        sync_s = st.get("d2h_s", 0.0) - wst.get("d2h_s", 0.0)
+        served = stats.get("served", 1) - warm.get("served", 0)
         # attached-host estimate: the logits-sync pull is the tunnel tax
         # (on PCIe it is ~free); host prep + dispatch remain
         est = served / max(host_s + disp_s, 1e-9)
-        print(f"stage breakdown over {served} served: host {host_s:.2f}s "
-              f"(tokenize {st.get('tokenize_s', 0):.2f} + decode "
-              f"{st.get('decode_s', 0):.2f}), dispatch {disp_s:.2f}s, "
+        print(f"steady-wave stage breakdown over {served} served: host "
+              f"{host_s:.2f}s, dispatch {disp_s:.2f}s, "
               f"logits d2h sync {sync_s:.2f}s, queue wait mean "
               f"{stats.get('queue_wait_mean_ms', 0):.1f} ms")
         print(f"attached-host estimate (excl. d2h sync): {est:,.1f} req/s")

@@ -82,9 +82,12 @@ class SwinConfig:
     # hand-derived Pallas backward (ops/swin_attention._bwd_kernel)
     # serves the VJP, CPB grads included. TPU-validated vs a CPU f32
     # oracle (benchmarks/SWIN_BWD_TPU_VALIDATION.json) and
-    # interpret-validated (tests/test_swin_bwd.py); still opt-in until a
-    # fine-tune perf A/B justifies the default (the trainer gates
-    # fused_attn off in finetune otherwise).
+    # interpret-validated (tests/test_swin_bwd.py). Default stays OFF on
+    # measurement: the end-to-end fine-tune A/B (swin_fused_train_ab,
+    # 2026-08-19) showed -4.8% vs XLA differentiating the einsum path —
+    # the bwd kernel's extra VPU passes cost more than the fused forward
+    # saves (the trainer gates fused_attn off in finetune when this is
+    # False). Serving keeps fused_attn=True (+36% fwd).
     fused_train: bool = False
 
     def __post_init__(self):
