@@ -29,6 +29,12 @@ CATEGORY_MAPPING = {
 @functools.lru_cache(maxsize=1)
 def build_pipeline(root: str = ".", checkpoint: str | None = None,
                    assets: str = "assets/encoders") -> ClaimVerificationPipeline:
+    """Session-cache twin of the reference's five cached builders
+    (src/demo/app.py:64-90 get_train_df/get_test_df/get_semantic_similarity,
+    :166 get_image_corpus, :237 get_predictor — @st.cache_data/resource):
+    every resource is constructed once per process and reused across
+    Verify-Claim clicks; the lru_cache is keyed the same way streamlit keys
+    its caches (by argument values)."""
     root_p = Path(root)
     predictor = MisinformationPredictor(
         ModelConfig(), checkpoint_path=checkpoint, assets_dir=assets)
