@@ -333,7 +333,32 @@ def main():
 
 
 def write_markdown(out: dict) -> None:
-    """Regenerate BENCHMARKS.md from a results dict (see --write_only)."""
+    """Regenerate BENCHMARKS.md from a results dict (see --write_only).
+
+    EVERYTHING in BENCHMARKS.md must be emitted here — hand edits to the
+    rendered file are clobbered by the next bench_suite/refresh run (that
+    bug ate the round-5 decision rows once). Curated narrative (default
+    decisions, host-floor analysis) therefore lives in this function,
+    parameterized by ab_results.json / the timing JSONs."""
+    ab_path = REPO / "benchmarks" / "ab_results.json"
+    ab_entries = json.loads(ab_path.read_text()) if ab_path.exists() else {}
+    ft_ab = ab_entries.get("finetune_remat_ab", {})
+    if "plain_samples_per_s" in ft_ab:
+        ft_row = (f"| fine-tuning step | {ft_ab['plain_samples_per_s']:,.0f} "
+                  "samples/s | END-TO-END: encoders trained too (BERT-class "
+                  "12L x2 + ViT x2 fwd+bwd+AdamW, T=256, batch 32; "
+                  "finetune_remat_ab) — the reference can only freeze; remat "
+                  f"variant {ft_ab['remat_samples_per_s']:,.0f} samples/s "
+                  f"(+{ft_ab['remat_tax_pct']:.1f}% step time for "
+                  "block-level activation memory) |")
+    elif "finetune_train_samples_per_sec" in out:
+        ft_row = (f"| fine-tuning step | "
+                  f"{out['finetune_train_samples_per_sec']:,.0f} samples/s | "
+                  "END-TO-END: encoders trained too (BERT-class 12L x2 + ViT "
+                  "x2 fwd+bwd+AdamW, T=256, batch 16) — the reference can "
+                  "only freeze |")
+    else:
+        ft_row = None
     lines = [
         "# Benchmarks (TPU v5e, 1 chip)",
         "",
@@ -356,9 +381,7 @@ def write_markdown(out: dict) -> None:
     ] + ([
         f"| Swinv2 embeddings | {out['swin_embeddings_per_sec']:,.0f} img/s | the reference's ACTUAL image encoder (swinv2-base, cosine window attention, CPB), 256px -> 64x1024{_mfu(out, 'swin_mfu_pct')} |",
     ] if 'swin_embeddings_per_sec' in out else []) + [
-    ] + ([
-        f"| fine-tuning step | {out['finetune_train_samples_per_sec']:,.0f} samples/s | END-TO-END: encoders trained too (BERT-class 12L x2 + ViT x2 fwd+bwd+AdamW, T=256, batch 16) — the reference can only freeze |",
-    ] if 'finetune_train_samples_per_sec' in out else []) + [
+    ] + ([ft_row] if ft_row else []) + [
         f"| im2im retrieval | {out['retrieval_im2im_qps']:,.0f} QPS | cosine top-10 over 41,256 x 2048 corpus (reference: O(N) host loop per query) |",
         f"| text2text retrieval | {out['retrieval_text2text_qps']:,.0f} QPS | cosine top-10 over 42,500 x 768 corpus |",
         f"| caption decode | {out['caption_tokens_per_sec']:,.0f} tok/s | KV-cached greedy, batch 32, 32 new tokens |",
@@ -404,10 +427,12 @@ def write_markdown(out: dict) -> None:
     # MEASURED end-to-end run (pipelines/run_all.py --timings_json), when
     # one has been recorded — wall-clocks, not stage-rate arithmetic.
     pt = REPO / "benchmarks" / "pipeline_timings.json"
+    staged_total = None
     if pt.exists():
         doc = json.loads(pt.read_text())
         st = doc["stages_sec"]
-        total = sum(v for k, v in st.items() if k != "synthesize")
+        total = staged_total = sum(
+            v for k, v in st.items() if k != "synthesize")
         lines += [
             "## Measured end-to-end run "
             f"({doc.get('date', '?')}, `pipelines/run_all.py`)",
@@ -466,12 +491,29 @@ def write_markdown(out: dict) -> None:
             f"| **total (excl. synthesize)** | **{total/60:,.1f} min** |",
             "",
         ]
+        ingest = st.get("ingest", 0.0)
+        if staged_total:
+            lines += [
+                f"**{staged_total/total:.1f}x end-to-end** vs the staged "
+                "driver above. Every device-side stage runs at (or near) "
+                "its kernel rate — train 42 → "
+                f"{2*doc.get('n_train_rows', 0)/max(st.get('train',1),1):,.0f}"
+                " samples/s, caption 51 → ~1,060 img/s, eval 11x. The "
+                f"residual is ingest ({ingest:,.0f} s): single-core PIL "
+                "decode + ~35 MB/s tunnel H2D of ~9.6 GB of u8 pixels on "
+                "this box's ONE CPU core — a host floor, not the device "
+                "(which absorbs the same stream in under a minute at the "
+                "Swin rate). The chunked feeder is thread-safe; at the "
+                "reference's 16 decode workers the projected total is "
+                "**under 5 minutes**, inside the BASELINE.md <10-min "
+                "target on ONE chip.",
+                "",
+            ]
 
     # Measured A/B decisions (each bench_*_ab.py records its outcome via
     # benchmarks/ab_log.record; this renders whatever has been measured)
-    ab = REPO / "benchmarks" / "ab_results.json"
-    if ab.exists():
-        entries = json.loads(ab.read_text())
+    if ab_entries:
+        entries = ab_entries
 
         def _cells(d):
             for k, v in d.items():
@@ -500,6 +542,55 @@ def write_markdown(out: dict) -> None:
             f"| {name} | {e.get('date', '?')} | {'; '.join(_cells(e))} |"
             for name, e in sorted(entries.items())
         ] + [""]
+        sw = entries.get("swin_fused_attn_ab", {})
+        sw_gain = (100.0 * (sw["fused_img_per_s"] / sw["einsum_img_per_s"]
+                            - 1.0)
+                   if {"fused_img_per_s", "einsum_img_per_s"} <= sw.keys()
+                   else None)
+        lines += [
+            "### Default decisions driven by the rows above (round 5)",
+            "",
+            "- **`TrainConfig.prefetch_depth` → 2 (FLIPPED ON)**: 2.47x "
+            "measured wall-clock, numerics-neutral (losses bit-identical; "
+            "`tests/test_remat.py::test_run_training_with_prefetch`).",
+            "- **Retrieval `int8` → stays OPT-IN (DECLINED despite "
+            "2.78x/1.98x)**: per-row int8 quantization perturbs similarity "
+            "scores, so near-tie top-k ORDERING can differ from the "
+            "reference's fp16 protocol (`text2text_retrieval.py:123-157`) — "
+            "retrieved evidence feeding the demo/eval pipelines would "
+            "silently change; and `int8=True` is exclusive with the "
+            "sharded-corpus mesh path (a True default would make `mesh=` "
+            "construction raise). Serving deployments that want the 2-3x "
+            "take it with `--int8` / `TextCorpus(int8=True)`; parity paths "
+            "keep exact bf16 scoring by default.",
+            "- **`merged_paths` / `stacked_heads` → DELETED**: measured "
+            "-8.2% / +0.3% (noise) in merged_paths_ab; the variants and "
+            "their ~130 lines were removed from `models/fusion.py` round 5 "
+            "(this table row is the surviving record).",
+            "- **`SwinConfig.fused_train` → stays OFF (DECLINED on "
+            "measurement)**: the hand-derived Pallas window-attention "
+            "backward is TPU-validated (SWIN_BWD_TPU_VALIDATION.json) but "
+            "the end-to-end fine-tune A/B measured **-4.8%** vs letting XLA "
+            "differentiate the einsum path (swin_fused_train_ab) — the bwd "
+            "kernel's extra VPU passes (log2-domain softmax bwd + per-batch "
+            "CPB cotangent accumulation) cost more than the fused forward "
+            "saves at fine-tune batch sizes. Serving keeps `fused_attn=True`"
+            + (f" (+{sw_gain:.0f}% forward throughput, swin_fused_attn_ab)"
+               if sw_gain is not None else "") +
+            "; training keeps the einsum path. Contrast DeBERTa, where the "
+            "same decision went the other way (+27%, fused_train default "
+            "ON). NOTE: with fused_train=False the serving kernel is the "
+            "non-differentiable in-VMEM-normalize variant "
+            "(`swin_window_attention_infer`); the Trainer gates `fused_attn` "
+            "off automatically when fine-tuning without `fused_train`.",
+            "- **serving_qps caveat**: steady_req_per_s is a TUNNEL floor "
+            "(the 2.50 s logits D2H sync per 256-request wave is tunnel "
+            "tax); attached_host_est_req_per_s is the steady-wave estimate "
+            "excluding it (host 0.20 s + dispatch 0.21 s per wave). An "
+            "earlier printed estimate of 15.1 was compile-poisoned (warmup "
+            "compiles landed in dispatch_s) and is superseded.",
+            "",
+        ]
 
     # Multi-chip projection (hardware here is one chip; semantics verified
     # on the 8-device virtual mesh instead of measured)

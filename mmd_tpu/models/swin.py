@@ -245,6 +245,26 @@ def _window_reverse(x: jax.Array, w: int, h: int, wd: int) -> jax.Array:
     return x.reshape(-1, h, wd, c)
 
 
+def _window_partition_wm(x: jax.Array, w: int) -> jax.Array:
+    """(B, H, W, C) -> window-major (nW, B, w*w, C): the Pallas kernels'
+    native layout (grid dim 0 = window selects the bias block), produced
+    by ONE transpose — the batch-major partition + a per-q/k/v `to_wb`
+    transpose used to cost 4 extra copy passes per block (PROFILE_SWIN:
+    copy+reshape families were 24% of the forward)."""
+    b, h, wd, c = x.shape
+    x = x.reshape(b, h // w, w, wd // w, w, c)
+    x = x.transpose(1, 3, 0, 2, 4, 5)          # (h/w, wd/w, B, w, w, C)
+    return x.reshape(-1, b, w * w, c)
+
+
+def _window_reverse_wm(x: jax.Array, w: int, h: int, wd: int) -> jax.Array:
+    """window-major (nW, B, w*w, C) -> (B, H, W, C)."""
+    nw, b, _, c = x.shape
+    x = x.reshape(h // w, wd // w, b, w, w, c)
+    x = x.transpose(2, 0, 3, 1, 4, 5)
+    return x.reshape(b, h, wd, c)
+
+
 def _position_bias(bp: dict, window: int, pretrained_window: int,
                    heads: int) -> jax.Array:
     """(heads, w*w, w*w) fp32 continuous relative position bias."""
@@ -302,44 +322,54 @@ _LOG2E = 1.4426950408889634
 def _cosine_window_attention_fused(bp: dict, x: jax.Array, heads: int,
                                    bias: jax.Array,
                                    mask: Optional[jax.Array],
-                                   batch: int, dtype) -> jax.Array:
-    """Same math as _cosine_window_attention through the Pallas kernel:
-    normalization, the per-head clamped logit scale, and the exp2 base
-    change fold into the q operand OUTSIDE; CPB + the doubled shift mask
-    combine into one (nW, h, n, n) log2-domain bias selected per window by
-    the kernel grid."""
-    from mmd_tpu.ops.swin_attention import swin_window_attention
+                                   dtype, differentiable: bool) -> jax.Array:
+    """Same math as _cosine_window_attention through the Pallas kernels.
+    x arrives WINDOW-MAJOR (nW, B, n, C) — the kernels' native layout
+    (grid dim 0 selects the (nW, h, n, n) bias block), so q/k/v need no
+    extra transpose (the former batch-major layout + per-tensor `to_wb`
+    transposes cost ~5.5 ms/batch-32 call of copy passes,
+    PROFILE_SWIN.json). Two variants:
 
-    bw, n, c = x.shape
+      * differentiable=False (serving — the default, since fused_train is
+        declined at -4.8%): swin_window_attention_infer takes RAW q/k and
+        runs the cosine normalize + clamped logit scale in VMEM (measured
+        24.65 vs 25.99 ms/call against normalizing outside).
+      * differentiable=True (fine-tuning with SwinConfig.fused_train):
+        the custom_vjp kernel keeps its pre-normalized contract; the
+        normalization/scale stay OUTSIDE where XLA differentiates them."""
+    from mmd_tpu.ops.swin_attention import (swin_window_attention,
+                                            swin_window_attention_infer)
+
+    nw, b, n, c = x.shape
     dh = c // heads
-    nw = bw // batch
     q = L.linear(bp["q"], x, dtype)
     k = jnp.dot(x.astype(dtype), bp["k"]["w"].astype(dtype),
                 preferred_element_type=jnp.float32).astype(dtype)
     v = L.linear(bp["v"], x, dtype)
 
-    def nrm(t):
-        th = t.reshape(bw, n, heads, dh).astype(jnp.float32)
-        return th / jnp.maximum(
-            jnp.linalg.norm(th, axis=-1, keepdims=True), 1e-12)
-
     scale = jnp.exp(jnp.minimum(bp["logit_scale"].astype(jnp.float32),
                                 math.log(1.0 / 0.01)))
-    qh = (nrm(q) * (scale * _LOG2E)[None, None, :, None]
-          ).reshape(bw, n, c).astype(dtype)
-    kh = nrm(k).reshape(bw, n, c).astype(dtype)
     tot = bias * _LOG2E                                   # (h, n, n)
     if mask is not None:
         tot = tot[None] + (2.0 * _LOG2E) * mask[:, None]  # HF adds it twice
     else:
         tot = jnp.broadcast_to(tot[None], (nw, heads, n, n))
 
-    def to_wb(t):
-        return t.reshape(batch, nw, n, c).transpose(1, 0, 2, 3)
+    if differentiable:
+        def nrm(t):
+            th = t.reshape(nw, b, n, heads, dh).astype(jnp.float32)
+            return th / jnp.maximum(
+                jnp.linalg.norm(th, axis=-1, keepdims=True), 1e-12)
 
-    out = swin_window_attention(to_wb(qh), to_wb(kh),
-                                to_wb(v.astype(dtype)), tot, heads)
-    out = out.transpose(1, 0, 2, 3).reshape(bw, n, c)
+        qh = (nrm(q) * (scale * _LOG2E)[None, None, None, :, None]
+              ).reshape(nw, b, n, c).astype(dtype)
+        kh = nrm(k).reshape(nw, b, n, c).astype(dtype)
+        out = swin_window_attention(qh, kh, v.astype(dtype), tot, heads)
+    else:
+        scale_row = jnp.broadcast_to(
+            jnp.repeat(scale * _LOG2E, dh)[None], (8, c)).astype(jnp.float32)
+        out = swin_window_attention_infer(q.astype(dtype), k, v.astype(dtype),
+                                          tot, scale_row, heads)
     return L.linear(bp["attn_out"], out, dtype)
 
 
@@ -357,24 +387,27 @@ def _fused_ok(window: int, dh: int, heads: int) -> bool:
 
 def _block(bp: dict, x: jax.Array, res: int, heads: int, window: int,
            shift: int, pretrained_window: int, eps: float, dtype,
-           fused: bool = False) -> jax.Array:
+           fused: bool = False, fused_train: bool = False) -> jax.Array:
     """One Swinv2 block on (B, res*res, C). Post-norm residual order."""
     b, _, c = x.shape
     shortcut = x
     h = x.reshape(b, res, res, c)
     if shift > 0:
         h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
-    windows = _window_partition(h, window)
     bias = _position_bias(bp, window, pretrained_window, heads)
     mask = shift_attn_mask(res, window, shift)
     mask = jnp.asarray(mask) if mask is not None else None
     if fused and _fused_ok(window, c // heads, heads):
+        windows = _window_partition_wm(h, window)
         attn = _cosine_window_attention_fused(bp, windows, heads, bias,
-                                              mask, b, dtype)
+                                              mask, dtype,
+                                              differentiable=fused_train)
+        h = _window_reverse_wm(attn, window, res, res)
     else:
+        windows = _window_partition(h, window)
         attn = _cosine_window_attention(bp, windows, heads, bias, mask, b,
                                         dtype)
-    h = _window_reverse(attn, window, res, res)
+        h = _window_reverse(attn, window, res, res)
     if shift > 0:
         h = jnp.roll(h, (shift, shift), axis=(1, 2))
     h = h.reshape(b, res * res, c)
@@ -417,7 +450,8 @@ def swin_forward(params: dict, cfg: SwinConfig, images: jax.Array) -> jax.Array:
             window, shift = cfg.stage_window_shift(s, i)
             blk = lambda bp, x, w=window, sh=shift, r=res, h=cfg.num_heads[s], \
                     pw=cfg.pretrained_window_sizes[s]: _block(
-                bp, x, r, h, w, sh, pw, eps, dtype, fused=cfg.fused_attn)
+                bp, x, r, h, w, sh, pw, eps, dtype, fused=cfg.fused_attn,
+                fused_train=cfg.fused_train)
             if cfg.remat:
                 blk = jax.checkpoint(blk)
             x = blk(bp, x)

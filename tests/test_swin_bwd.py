@@ -25,7 +25,11 @@ def test_swin_fused_bwd_matches_einsum(rng):
     imgs = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
 
     def loss(p, x, fused):
-        c = dataclasses.replace(cfg, fused_attn=fused)
+        # fused_train=True selects the differentiable custom_vjp kernel;
+        # plain fused_attn=True routes to the serving-only in-kernel-
+        # normalize variant, which has no VJP by design (the trainer
+        # gates fused_attn off when fine-tuning with fused_train=False).
+        c = dataclasses.replace(cfg, fused_attn=fused, fused_train=fused)
         return jnp.sum(S.swin_forward(p, c, x) ** 2)
 
     lf, gf = jax.value_and_grad(lambda p, x: loss(p, x, True),
