@@ -283,7 +283,8 @@ def write_markdown(r: dict, args) -> None:
     lines = [
         "# Quality numbers (synthetic convergence protocol)",
         "",
-        f"Generated {date} by `python benchmarks/quality_suite.py` "
+        f"Generated {date} by `python benchmarks/quality_suite.py"
+        f"{' --fast' if args.fast else ''}` "
         f"({r['devices']}-device {r['backend']} mesh, "
         f"{args.n_train} train / {args.n_test} test learnable synthetic "
         f"rows, {args.epochs} epochs, wall {r['wall_s']}s).",
