@@ -223,7 +223,7 @@ def main():
     # price FLOPs on the einsum twin: fused_attn defaults True now and the
     # Pallas kernel can't lower for the CPU cost model; the einsum path is
     # the same useful math (no extra selection matmuls, unlike DeBERTa)
-    scfg_j = _dc.replace(scfg, fused_attn=False)
+    scfg_j = _dc.replace(scfg, fused_attn=False, fused_ln=False)
     fsw = analytic_flops(
         lambda p, x: SW.swin_forward(p, scfg_j, x), sparams, simgs)
     if fsw:

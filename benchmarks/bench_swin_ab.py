@@ -63,9 +63,17 @@ def main():
         # fused_attn has defaulted ON since the measured +36%: force it
         # off for the einsum arm (it used to be the config default).
         "einsum": build(dataclasses.replace(SW.SWIN_BASE_256,
-                                            fused_attn=False)),
+                                            fused_attn=False,
+                                            fused_ln=False)),
         "fused": build(dataclasses.replace(SW.SWIN_BASE_256,
-                                           fused_attn=True)),
+                                           fused_attn=True,
+                                           fused_ln=False)),
+        # + the forward-only residual+LN kernel (ops/ln.py): profile
+        # showed the ffn_out GEMMs at 9-29% MFU with XLA's LN-stats
+        # reduce fused into them; this arm de-fuses the epilogue.
+        "fused_ln": build(dataclasses.replace(SW.SWIN_BASE_256,
+                                              fused_attn=True,
+                                              fused_ln=True)),
     }
     for tag, (fs, fl) in variants.items():
         t0 = time.time()
@@ -86,12 +94,16 @@ def main():
         out[tag] = dt
         print(f"{tag}: {dt*1e3:.2f} ms/batch{B} -> {B/dt:,.0f} img/s")
     delta = (out["fused"] - out["einsum"]) / out["einsum"] * 100
+    delta_ln = (out["fused_ln"] - out["fused"]) / out["fused"] * 100
     print(f"fused vs einsum: {delta:+.1f}%")
+    print(f"fused_ln vs fused: {delta_ln:+.1f}%")
     from ab_log import record
     record("swin_fused_attn_ab", {
         "einsum_img_per_s": round(B / out["einsum"], 1),
         "fused_img_per_s": round(B / out["fused"], 1),
+        "fused_ln_img_per_s": round(B / out["fused_ln"], 1),
         "fused_vs_einsum_pct": round(delta, 1),
+        "fused_ln_vs_fused_pct": round(delta_ln, 1),
         "protocol": f"in-jit fori delta, {args.reps} interleaved reps, "
                     "medians"})
 

@@ -49,7 +49,7 @@ def main():
     print(f"swin encode (fused_attn={scfg.fused_attn}): "
           f"{dt*1e3:.2f} ms/batch{SB} -> {SB/dt:,.0f} img/s", file=sys.stderr)
 
-    scfg_j = _dc.replace(scfg, fused_attn=False)
+    scfg_j = _dc.replace(scfg, fused_attn=False, fused_ln=False)
     fsw = analytic_flops(
         lambda p, x: SW.swin_forward(p, scfg_j, x), sparams, simgs)
 

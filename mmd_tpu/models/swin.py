@@ -89,6 +89,14 @@ class SwinConfig:
     # saves (the trainer gates fused_attn off in finetune when this is
     # False). Serving keeps fused_attn=True (+36% fwd).
     fused_train: bool = False
+    # Fused residual+LayerNorm Pallas kernel (ops/ln.py) on the SERVING
+    # path: PROFILE_SWIN.json attributes 24% of the forward to XLA's
+    # f32-upcast LayerNorm fusions; the kernel computes stats + apply +
+    # residual add in one VMEM pass. FORWARD-ONLY (no VJP): the trainer
+    # gates it off when fine-tuning; the jnp layernorm keeps serving the
+    # differentiable paths. Default ON: measured 1,550 -> 1,621 img/s
+    # (-4.4% time, swin_fused_attn_ab fused_ln arm, 2026-08-19).
+    fused_ln: bool = True
 
     def __post_init__(self):
         self.depths = tuple(self.depths)
@@ -387,7 +395,8 @@ def _fused_ok(window: int, dh: int, heads: int) -> bool:
 
 def _block(bp: dict, x: jax.Array, res: int, heads: int, window: int,
            shift: int, pretrained_window: int, eps: float, dtype,
-           fused: bool = False, fused_train: bool = False) -> jax.Array:
+           fused: bool = False, fused_train: bool = False,
+           fused_ln: bool = False) -> jax.Array:
     """One Swinv2 block on (B, res*res, C). Post-norm residual order."""
     b, _, c = x.shape
     shortcut = x
@@ -411,16 +420,23 @@ def _block(bp: dict, x: jax.Array, res: int, heads: int, window: int,
     if shift > 0:
         h = jnp.roll(h, (shift, shift), axis=(1, 2))
     h = h.reshape(b, res * res, c)
-    x = shortcut + L.layernorm(bp["ln1"], h, eps)
+    if fused_ln:
+        from mmd_tpu.ops.ln import fused_layernorm
+        x = fused_layernorm(bp["ln1"], h, eps, shortcut=shortcut)
+    else:
+        x = shortcut + L.layernorm(bp["ln1"], h, eps)
 
     ffn = L.linear(bp["ffn_in"], x, dtype)
     ffn = jax.nn.gelu(ffn, approximate=False)
     ffn = L.linear(bp["ffn_out"], ffn, dtype)
+    if fused_ln:
+        from mmd_tpu.ops.ln import fused_layernorm
+        return fused_layernorm(bp["ln2"], ffn, eps, shortcut=x)
     return x + L.layernorm(bp["ln2"], ffn, eps)
 
 
 def _patch_merge(dp: dict, x: jax.Array, res: int, eps: float,
-                 dtype) -> jax.Array:
+                 dtype, fused_ln: bool = False) -> jax.Array:
     """(B, res*res, C) -> (B, (res/2)^2, 2C). Concat order [x0;x1;x2;x3] =
     strides [(0,0),(1,0),(0,1),(1,1)], reduce, THEN norm (v2)."""
     b, _, c = x.shape
@@ -430,6 +446,9 @@ def _patch_merge(dp: dict, x: jax.Array, res: int, eps: float,
     h = jnp.concatenate(parts, axis=-1).reshape(b, (res // 2) ** 2, 4 * c)
     h = jnp.dot(h.astype(dtype), dp["reduction"]["w"].astype(dtype),
                 preferred_element_type=jnp.float32).astype(dtype)
+    if fused_ln:
+        from mmd_tpu.ops.ln import fused_layernorm
+        return fused_layernorm(dp["norm"], h, eps)
     return L.layernorm(dp["norm"], h, eps)
 
 
@@ -440,9 +459,16 @@ def swin_forward(params: dict, cfg: SwinConfig, images: jax.Array) -> jax.Array:
     LayerNorm applied, no pooler)."""
     dtype = jnp.dtype(cfg.compute_dtype)
     eps = cfg.layer_norm_eps
+    # fused_ln is forward-only (no VJP); the trainer turns it off for
+    # fine-tuning, and remat (a training-only flag) disables it here as a
+    # second guard so jax.checkpoint never wraps a non-differentiable op.
+    fln = cfg.fused_ln and not cfg.remat
+    if fln:
+        from mmd_tpu.ops.ln import fused_layernorm
     x = patchify(images.astype(dtype), cfg.patch_size)
     x = L.linear(params["patch_embed"], x, dtype)
-    x = L.layernorm(params["embed_ln"], x, eps)
+    x = (fused_layernorm(params["embed_ln"], x, eps) if fln
+         else L.layernorm(params["embed_ln"], x, eps))
     for s in range(cfg.num_stages):
         res = cfg.stage_res(s)
         stage = params["stages"][s]
@@ -451,13 +477,15 @@ def swin_forward(params: dict, cfg: SwinConfig, images: jax.Array) -> jax.Array:
             blk = lambda bp, x, w=window, sh=shift, r=res, h=cfg.num_heads[s], \
                     pw=cfg.pretrained_window_sizes[s]: _block(
                 bp, x, r, h, w, sh, pw, eps, dtype, fused=cfg.fused_attn,
-                fused_train=cfg.fused_train)
+                fused_train=cfg.fused_train, fused_ln=fln)
             if cfg.remat:
                 blk = jax.checkpoint(blk)
             x = blk(bp, x)
         if "downsample" in stage:
-            x = _patch_merge(stage["downsample"], x, res, eps, dtype)
-    return L.layernorm(params["ln_final"], x, eps)
+            x = _patch_merge(stage["downsample"], x, res, eps, dtype,
+                             fused_ln=fln)
+    return L.layernorm(params["ln_final"], x, eps) if not fln else \
+        fused_layernorm(params["ln_final"], x, eps)
 
 
 # -- HF conversion -------------------------------------------------------------

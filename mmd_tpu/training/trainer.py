@@ -320,6 +320,10 @@ def make_finetune_raw_step(cfg: TrainConfig, enc,
     if (isinstance(vit_cfg, _SWC) and vit_cfg.fused_attn
             and not vit_cfg.fused_train):
         vit_cfg = _dc.replace(vit_cfg, fused_attn=False)
+    if isinstance(vit_cfg, _SWC) and vit_cfg.fused_ln:
+        # the fused residual+LN kernel is forward-only (serving); the
+        # jnp layernorm serves the differentiable fine-tune path
+        vit_cfg = _dc.replace(vit_cfg, fused_ln=False)
     if text_mode is None:
         t_enc = lambda p, ids, m: text_encode(p, text_cfg, ids, m)
     else:

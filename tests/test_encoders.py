@@ -218,3 +218,79 @@ def test_reference_families_resolver(tmp_path):
     assert isinstance(enc.vit_cfg, SwinConfig)
     assert enc.text_cfg.vocab_size >= 128
     assert enc.vit_cfg.num_tokens == 64 and enc.vit_cfg.hidden_size == 1024
+
+
+def test_swin_fused_ln_matches_jnp_layernorm(rng):
+    """fused_ln=True routes every LayerNorm (block post-norms + residual
+    adds, patch-merge norm, embed/final LN) through the forward-only
+    Pallas residual+LN kernel (ops/ln.py) — outputs equal the jnp
+    layernorm path (interpret mode off-TPU). Exercised together with the
+    fused attention kernel, as served in production."""
+    import dataclasses
+    from mmd_tpu.models import swin as S
+
+    cfg = S.SwinConfig(image_size=64, patch_size=4, embed_dim=128,
+                       depths=(2,), num_heads=(4,), window_size=8,
+                       pretrained_window_sizes=(0,),
+                       compute_dtype="float32", fused_attn=True)
+    params = S.init_swin(jax.random.key(3), cfg)
+    imgs = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    ref = np.asarray(S.swin_forward(params, cfg, imgs))
+    fused = np.asarray(S.swin_forward(
+        params, dataclasses.replace(cfg, fused_ln=True), imgs))
+    np.testing.assert_allclose(fused, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ln_kernel_matches_layernorm(rng):
+    """ops/ln.py::fused_layernorm == layers.layernorm (+ shortcut) on a
+    plain (B, T, C) tensor, bf16 and f32, plus the geometry fallback."""
+    from mmd_tpu.models import layers as L
+    from mmd_tpu.ops.ln import fused_layernorm
+
+    p = {"scale": jnp.asarray(rng.standard_normal(256), jnp.float32),
+         "bias": jnp.asarray(rng.standard_normal(256), jnp.float32)}
+    y = jnp.asarray(rng.standard_normal((4, 16, 256)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 16, 256)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fused_layernorm(p, y, 1e-5)),
+                               np.asarray(L.layernorm(p, y, 1e-5)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(fused_layernorm(p, y, 1e-5, shortcut=x)),
+        np.asarray(x + L.layernorm(p, y, 1e-5)), rtol=1e-5, atol=1e-5)
+    yb = y.astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(fused_layernorm(p, yb, 1e-5)).astype(np.float32),
+        np.asarray(L.layernorm(p, yb, 1e-5)).astype(np.float32),
+        rtol=2e-2, atol=2e-2)
+    # odd geometry (C not a lane multiple) falls back to the jnp math
+    p2 = {"scale": jnp.ones((100,), jnp.float32),
+          "bias": jnp.zeros((100,), jnp.float32)}
+    y2 = jnp.asarray(rng.standard_normal((3, 100)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fused_layernorm(p2, y2, 1e-5)),
+                               np.asarray(L.layernorm(p2, y2, 1e-5)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_ln_grads_match_jnp(rng):
+    """jax.grad through fused_layernorm (custom VJP, jnp adjoint) equals
+    grads of the jnp layernorm composition — params, input, and shortcut
+    cotangents."""
+    from mmd_tpu.models import layers as L
+    from mmd_tpu.ops.ln import fused_layernorm
+
+    p = {"scale": jnp.asarray(rng.standard_normal(128), jnp.float32),
+         "bias": jnp.asarray(rng.standard_normal(128), jnp.float32)}
+    y = jnp.asarray(rng.standard_normal((2, 8, 128)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 8, 128)), jnp.float32)
+
+    def loss_fused(p, y, x):
+        return jnp.sum(fused_layernorm(p, y, 1e-5, shortcut=x) ** 2)
+
+    def loss_ref(p, y, x):
+        return jnp.sum((x + L.layernorm(p, y, 1e-5)) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(p, y, x)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(p, y, x)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
