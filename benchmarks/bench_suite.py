@@ -625,6 +625,22 @@ def write_markdown(out: dict) -> None:
             "non-differentiable in-VMEM-normalize variant "
             "(`swin_window_attention_infer`); the Trainer gates `fused_attn` "
             "off automatically when fine-tuning without `fused_train`.",
+            "- **Swin fused_ln → ON (round 5)**: the profile attributed "
+            "~2 ms/call to standalone f32-upcast LN passes + residual "
+            "adds; ops/ln.py fuses stats+scale/bias+residual in one VMEM "
+            "pass. Measured 1,550 → 1,621 img/s (swin_fused_attn_ab "
+            "fused_ln arm); headline row re-measured 1,620 img/s, "
+            "35.8% MFU.",
+            "- **Swin FFN superfusion: leave XLA alone (NEGATIVE, round "
+            "5)**: the per-op trace shows XLA fuses dot→GELU→dot into "
+            "one kOutput fusion running at 36 TF/s — far below the "
+            "isolated GEMM rate (92+ TF/s), which looks like a bug but "
+            "is not: splitting it with an optimization_barrier measured "
+            "+1.6% step time, and removing GELU entirely (identity "
+            "probe) changed nothing. The superfusion keeps the 4x-wide "
+            "hidden tensor VMEM-resident; its HBM savings beat the "
+            "naive GEMM rate. No Pallas MLP kernel for Swin either — "
+            "same conclusion as the round-2 DeBERTa rate=0 A/B.",
             "- **serving_qps caveat**: steady_req_per_s is a TUNNEL floor "
             "(the 2.50 s logits D2H sync per 256-request wave is tunnel "
             "tax); attached_host_est_req_per_s is the steady-wave estimate "

@@ -426,6 +426,12 @@ def _block(bp: dict, x: jax.Array, res: int, heads: int, window: int,
     else:
         x = shortcut + L.layernorm(bp["ln1"], h, eps)
 
+    # Leave the FFN to XLA: it superfuses dot->GELU->dot into ONE kOutput
+    # fusion that keeps the 4x-wide hidden tensor VMEM-resident. The
+    # per-op 36 TF/s looks slow against the isolated GEMMs (92+ TF/s)
+    # but an optimization_barrier that splits the superfusion measured
+    # +1.6% step time (2026-08-19 probe) — the fusion's HBM savings beat
+    # the naive-GEMM rate. Don't "fix" this.
     ffn = L.linear(bp["ffn_in"], x, dtype)
     ffn = jax.nn.gelu(ffn, approximate=False)
     ffn = L.linear(bp["ffn_out"], ffn, dtype)
