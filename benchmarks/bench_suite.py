@@ -631,6 +631,16 @@ def write_markdown(out: dict) -> None:
             "pass. Measured 1,550 → 1,621 img/s (swin_fused_attn_ab "
             "fused_ln arm); headline row re-measured 1,620 img/s, "
             "35.8% MFU.",
+            "- **DeBERTa fused_ln → DECLINED and deleted (NEGATIVE, "
+            "round 5)**: routing DeBERTa's ln1/ln2 (the pre-add "
+            "LN(residual + sublayer) pattern) through a pre-add variant "
+            "of the ops/ln.py kernel measured **+1.3%** serving time "
+            "(deberta_fused_ln_ab) — XLA already superfuses that LN "
+            "into the adjacent GEMM fusions, and a pallas_call boundary "
+            "only breaks the superfusion. Swin wins because its "
+            "post-add LNs + residual adds are standalone VPU passes. "
+            "Wiring deleted per the measured-loser rule; do not retry "
+            "for the BERT-class/MPNet post-LN stacks (same structure).",
             "- **Swin FFN superfusion: leave XLA alone (NEGATIVE, round "
             "5)**: the per-op trace shows XLA fuses dot→GELU→dot into "
             "one kOutput fusion running at 36 TF/s — far below the "

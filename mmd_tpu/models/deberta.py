@@ -57,6 +57,12 @@ class DebertaConfig:
                                      # step (ab_results.json
                                      # deberta_fused_train_ab: 278 -> 381
                                      # samples/s, 2026-08-18)
+    # NOTE: no fused_ln here on purpose — routing ln1/ln2 through the
+    # Pallas add+LN kernel measured +1.3% serving time
+    # (deberta_fused_ln_ab, 2026-08-19): XLA already superfuses the
+    # pre-add LN into the adjacent GEMM fusions, and the kernel boundary
+    # only breaks that. Swin's LNs are standalone passes, which is why
+    # SwinConfig.fused_ln wins there.
 
     @property
     def pos_ebd_size(self) -> int:

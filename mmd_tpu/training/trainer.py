@@ -321,8 +321,9 @@ def make_finetune_raw_step(cfg: TrainConfig, enc,
             and not vit_cfg.fused_train):
         vit_cfg = _dc.replace(vit_cfg, fused_attn=False)
     if isinstance(vit_cfg, _SWC) and vit_cfg.fused_ln:
-        # the fused residual+LN kernel is forward-only (serving); the
-        # jnp layernorm serves the differentiable fine-tune path
+        # fine-tuning keeps the jnp layernorm (the fused add+LN kernel
+        # carries a VJP but is unmeasured in training — same policy as
+        # the fused_train defaults)
         vit_cfg = _dc.replace(vit_cfg, fused_ln=False)
     if text_mode is None:
         t_enc = lambda p, ids, m: text_encode(p, text_cfg, ids, m)
