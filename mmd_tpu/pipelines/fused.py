@@ -236,8 +236,18 @@ def ingest_split(
             return
         start = jnp.int32(cursor)
         imgs = {}
+        # The staging numpy buffers are REUSED for the next chunk, but on
+        # non-TPU backends jax.device_put is ZERO-COPY for aligned numpy
+        # arrays — the "device" array aliases host memory, so refilling
+        # staging would corrupt chunks that async consumers (bank writes,
+        # the on_chunk caption hook) have not executed yet. Snapshot on
+        # those backends; the TPU path copies over the tunnel anyway.
+        # (Caught as a load-dependent caption mismatch in
+        # tests/test_fused.py under a full contended suite run.)
+        snapshot = jax.default_backend() != "tpu"
         for col in staging:
-            dev_chunk = jax.device_put(staging[col], jax.devices()[0])
+            host_chunk = staging[col].copy() if snapshot else staging[col]
+            dev_chunk = jax.device_put(host_chunk, jax.devices()[0])
             if col in data:
                 data[col] = _bank_write(data[col], dev_chunk, start)
             if col in ("claim_image", "doc_image"):
