@@ -180,7 +180,8 @@ def _rel_shift(expf: jax.Array, t: int, s: int) -> jax.Array:
 
 
 def _deberta_attn_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
-                         o_ref, *, num_heads: int, scale: float):
+                         o_ref, *, num_heads: int, scale: float,
+                         lowp_ok: bool = True):
     """Blocks: q/k/v/o (GB, T, D); pk/pq (2T, D); mask (GB, 1, T) int32.
 
     Heads run in MXU-packed groups of g = 128//dh against block-diagonal
@@ -189,7 +190,18 @@ def _deberta_attn_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
     full-contraction matmul computes the whole group's content, c2p, p2c,
     and PV terms at full MXU width instead of dh/128 of it). The strided
     diagonal roll and the softmax run per T/2T segment — Mosaic's roll and
-    the 1-sublane mask broadcast both operate within one head's lanes."""
+    the 1-sublane mask broadcast both operate within one head's lanes.
+
+    lowp (bf16 inputs only): the kernel is VMEM-pass-bound, not MXU-bound
+    (round-5 profile: 17 of the 26 ms forward at batch 64 is this kernel,
+    vs a ~4.7 ms matmul floor), so the (T, T)/(T, 2T) score intermediates
+    are kept in bf16 — matmul outputs, the two strided rolls, the p2c
+    transpose, and the exp output all move half the bytes. The softmax
+    itself still runs in f32 registers (operands upcast in the fused
+    elementwise chain; row max and 1/sum in f32), and masked keys still
+    hit exp(-inf) == 0 exactly, so only O(2^-8) rounding on score/weight
+    operands differs from the f32 kernel — the same rounding class as the
+    bf16 MXU dots both paths already use."""
     from jax.experimental.pallas import tpu as pltpu
 
     q = q_ref[:]
@@ -200,6 +212,8 @@ def _deberta_attn_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
     g = 128 // dh if (dh < 128 and 128 % dh == 0 and t % 128 == 0) else 1
     while g > 1 and num_heads % g != 0:
         g //= 2   # a partial trailing group would slice past D
+    lowp = lowp_ok and q.dtype == jnp.bfloat16
+    sdt = jnp.bfloat16 if lowp else jnp.float32
     neg = jnp.finfo(jnp.float32).min
     key_ok = mask_ref[:] > 0                               # (GB, 1, T)
 
@@ -221,31 +235,42 @@ def _deberta_attn_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
         cols = slice(h0 * dh, (h0 + g) * dh)
         qg = q[:, :, cols]                                 # (GB, T, gdh)
         kp = pack3(k, h0)                                  # (GB, gT, gdh)
+        # Mosaic requires a 32-bit matmul accumulator, so lowp casts the
+        # content scores on the way out (epilogue write, not a pass). The
+        # positional tensors stay f32: tpu.dynamic_rotate is 32-bit only.
         s_all = jax.lax.dot_general(
             qg, kp, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # (GB, T, gT)
+            preferred_element_type=jnp.float32).astype(sdt)  # (GB, T, gT)
         c2p_all = jax.lax.dot_general(
             qg, pack2(pk_ref[:], h0), (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (GB, T, g*2T)
+            preferred_element_type=jnp.float32)              # (GB,T,g*2T)
         kg = k[:, :, cols]
         p2c_all = jax.lax.dot_general(
             kg, pack2(pq_ref[:], h0), (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (GB, T, g*2T)
+            preferred_element_type=jnp.float32)              # (GB,T,g*2T)
         ws, linvs = [], []
         for j in range(g):
             c2p = pltpu.roll(c2p_all[:, :, j * 2 * t:(j + 1) * 2 * t],
                              shift=t + 1, axis=2, stride=1, stride_axis=1)
             p2c = pltpu.roll(p2c_all[:, :, j * 2 * t:(j + 1) * 2 * t],
                              shift=t + 1, axis=2, stride=1, stride_axis=1)
-            s = (s_all[:, :, j * t:(j + 1) * t] + c2p[:, :, :t]
-                 + jnp.swapaxes(p2c[:, :, :t], 1, 2))
+            # transpose in sdt (half the relayout bytes under lowp), all
+            # operands upcast inside the fused elementwise chain
+            s = (s_all[:, :, j * t:(j + 1) * t].astype(jnp.float32)
+                 + c2p[:, :, :t]
+                 + jnp.swapaxes(p2c[:, :, :t].astype(sdt), 1, 2)
+                 .astype(jnp.float32))
             s = jnp.where(key_ok, s * scale, neg)
             # unnormalized exp with the division DEFERRED to the (T, gdh)
             # context — (w @ v) / l == (w / l) @ v, one (T, T) pass cheaper
             # per head (same trick as ops/attention._fwd_kernel)
             m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            linvs.append(1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            # exp written straight in sdt: under lowp this folds the old
+            # pre-matmul cast pass into the exp write (w_all is already
+            # v.dtype); 1/sum still accumulates in f32
+            e = jnp.exp(s - m).astype(sdt)
+            linvs.append(1.0 / jnp.sum(e, axis=-1, keepdims=True,
+                                       dtype=jnp.float32))
             ws.append(e)
         w_all = (jnp.concatenate(ws, axis=-1) if g > 1
                  else ws[0])                               # (GB, T, gT)
@@ -257,6 +282,12 @@ def _deberta_attn_kernel(q_ref, k_ref, v_ref, pk_ref, pq_ref, mask_ref,
             [jnp.broadcast_to(linvs[j], (gb, t, dh)) for j in range(g)],
             axis=-1)                                       # (GB, T, gdh)
         o_ref[:, :, cols] = (ctx * linv).astype(o_ref.dtype)
+
+
+# bf16 score intermediates in the fused forward kernel (bf16 inputs only;
+# f32 runs are byte-identical to before). Module-level so the one-process
+# A/B can trace both variants (benchmarks/bench_deberta_lowp_ab.py).
+LOWP_SCORES = True
 
 
 def _deberta_attn_fused(q, k, v, pos_k_d, pos_q_d, mask, num_heads: int,
@@ -277,7 +308,7 @@ def _deberta_attn_fused(q, k, v, pos_k_d, pos_q_d, mask, num_heads: int,
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_deberta_attn_kernel, num_heads=num_heads,
-                          scale=scale),
+                          scale=scale, lowp_ok=LOWP_SCORES),
         grid=(b // gb,),
         in_specs=[qblk, qblk, qblk, pblk, pblk, mblk],
         out_specs=qblk,
